@@ -1,0 +1,226 @@
+"""Minimal HTML parsing to interleaved spans, links, and normalized text.
+
+The reference extracts page structure with BeautifulSoup/lxml
+(``/root/reference/crawler/services/html_parser.py:15-355``,
+``url_extractor.py:54-288``) and normalizes content for hashing with a
+boilerplate/ad/timestamp scrubbing pipeline
+(``content_normalizer.py:22-424``).  Neither bs4 nor lxml exists in this
+environment, so this module implements the needed subset on stdlib
+``html.parser``:
+
+- :func:`parse_spans` — one DOM-ordered pass producing the interleaved
+  span records of the target data model (BASELINE.json input_hint):
+  ``kind ∈ {title, text, link, media}``; ``link`` spans carry the raw href
+  in ``text``; ``media`` spans carry ``media_ref`` and empty text; ``offset``
+  strictly increasing in document order.
+- :func:`normalize_for_hash` — the reference's ``normalize_for_hash``
+  semantics (``content_normalizer.py:399-424``): drop boilerplate tags and
+  ad/tracking-classed subtrees and comments, prefer <main>/<article>-ish
+  containers, scrub timestamp patterns, collapse whitespace, lowercase.
+
+Both are pure per-row functions used inside ``map_batches`` parse stages.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+# Tags whose subtrees are boilerplate, never content
+# (mirrors content_normalizer.py:37-50).
+BOILERPLATE_TAGS = {
+    "nav", "header", "footer", "aside", "sidebar", "menu",
+    "noscript", "iframe", "script", "style", "link", "meta",
+}
+
+# class/id substring regexes marking ad/tracking chrome
+# (mirrors content_normalizer.py:53-75).
+AD_CLASS_RE = re.compile(
+    r"(?:ad[_-]|ads[_-]|advert|sponsor|promo|banner|cookie[_-]|gdpr|consent|"
+    r"popup|modal|overlay|tracking|analytics|social[_-]share|share[_-]buttons?|"
+    r"related[_-]|recommend|newsletter|subscription)",
+    re.IGNORECASE,
+)
+
+# dynamic-content scrubbing regexes (mirrors content_normalizer.py:78-100);
+# applied in order — datetime before bare date.
+TIMESTAMP_RES = [
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        r"\d{4}[-/]\d{2}[-/]\d{2}[T\s]\d{2}:\d{2}(:\d{2})?([+-]\d{2}:?\d{2}|Z)?",
+        r"\d{4}[-/]\d{2}[-/]\d{2}",
+        r"\b\d{1,2}:\d{2}(:\d{2})?\b",
+        r"(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|"
+        r"Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|"
+        r"Dec(?:ember)?)\s+\d{1,2},?\s+\d{4}",
+        r"\d+\s+(?:second|minute|hour|day|week|month|year)s?\s+ago",
+        r"(?:updated|posted|published)\s+(?:yesterday|today|just now)",
+        r"\d+[\d,.]*[KMB]?\s+(?:views?|likes?|comments?|reads?)",
+        r"(?:last\s+)?(?:updated|modified|posted|published)[\s:]+.*?ago",
+    )
+]
+
+MAIN_CONTENT_TAGS = ("main", "article")
+_WS = re.compile(r"\s+")
+
+
+class _SpanCollector(HTMLParser):
+    """Single-pass DOM-order collector of title/text/link/media spans."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.spans: list[dict] = []
+        self._offset = 0
+        self._in_title = 0
+        self._skip_depth = 0          # inside boilerplate/ad subtree
+        self._text_parts: list[str] = []
+
+    def _flush_text(self) -> None:
+        if self._text_parts:
+            text = _WS.sub(" ", "".join(self._text_parts)).strip()
+            self._text_parts = []
+            if text:
+                self._emit("text", text=text)
+
+    def _emit(self, kind: str, text: str = "", media_ref: str = "") -> None:
+        self.spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "offset": self._offset}
+        )
+        self._offset += max(1, len(text) + len(media_ref))
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            self._skip_depth += 1
+            return
+        ad = dict(attrs)
+        marker = f"{ad.get('class', '')} {ad.get('id', '')}"
+        if tag in BOILERPLATE_TAGS or AD_CLASS_RE.search(marker):
+            self._skip_depth = 1
+            return
+        if tag == "title":
+            self._flush_text()
+            self._in_title += 1
+        elif tag == "a":
+            self._flush_text()
+            href = dict(attrs).get("href")
+            if href:
+                self._emit("link", text=href)
+        elif tag in ("img", "video", "audio", "source"):
+            self._flush_text()
+            src = dict(attrs).get("src")
+            if src:
+                self._emit("media", media_ref=src)
+        elif tag in ("p", "div", "br", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr"):
+            self._flush_text()
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._skip_depth:
+            self._skip_depth -= 1
+            return
+        if tag == "title" and self._in_title:
+            self._in_title -= 1
+        elif tag in ("p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr"):
+            self._flush_text()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            t = _WS.sub(" ", data).strip()
+            if t:
+                self._emit("title", text=t)
+        else:
+            self._text_parts.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush_text()
+
+
+def parse_spans(html: str) -> list[dict]:
+    """HTML -> DOM-ordered interleaved spans (kind, text, media_ref, offset)."""
+    c = _SpanCollector()
+    c.feed(html or "")
+    c.close()
+    return c.spans
+
+
+def extract_links(spans: list[dict], base_url: str) -> list[tuple[str, int]]:
+    """(absolute_url, dom_idx) for every link span, relative hrefs resolved.
+
+    Mirrors the reference's relative->absolute urljoin at extraction time
+    (``url_extractor.py:121-173``, ``crawl_executor.py:305-340``).
+    """
+    out = []
+    for i, s in enumerate(spans):
+        if s["kind"] == "link":
+            out.append((urljoin(base_url, s["text"]), i))
+    return out
+
+
+def page_title(spans: list[dict]) -> str:
+    for s in spans:
+        if s["kind"] == "title":
+            return s["text"]
+    return ""
+
+
+def page_text(spans: list[dict]) -> str:
+    """Concatenated text spans (the extractable content of the page)."""
+    return " ".join(s["text"] for s in spans if s["kind"] in ("title", "text"))
+
+
+class _MainContentFinder(HTMLParser):
+    """Locates the char range of the first <main>/<article> subtree."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.depth = 0
+        self.capture: list[str] | None = None
+        self.result: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if self.capture is not None:
+            self.capture.append(self.get_starttag_text() or "")
+            if tag in MAIN_CONTENT_TAGS:
+                self.depth += 1
+        elif tag in MAIN_CONTENT_TAGS and self.result is None:
+            self.capture = []
+            self.depth = 1
+
+    def handle_endtag(self, tag):
+        if self.capture is not None:
+            if tag in MAIN_CONTENT_TAGS:
+                self.depth -= 1
+                if self.depth == 0:
+                    self.result = "".join(self.capture)
+                    self.capture = None
+                    return
+            self.capture.append(f"</{tag}>")
+
+    def handle_data(self, data):
+        if self.capture is not None:
+            self.capture.append(data)
+
+
+def normalize_for_hash(html: str) -> str:
+    """Stable text for duplicate hashing (reference normalize_for_hash).
+
+    Pipeline order follows ``content_normalizer.py:122-183``: strip
+    boilerplate/ad subtrees and comments (the span collector already skips
+    them), prefer the main-content subtree, join text, scrub timestamps,
+    collapse whitespace, lowercase.
+    """
+    if not html:
+        return ""
+    finder = _MainContentFinder()
+    finder.feed(html)
+    finder.close()
+    scope = finder.result if finder.result is not None else html
+    text = " ".join(
+        s["text"] for s in parse_spans(scope) if s["kind"] in ("title", "text")
+    )
+    for rx in TIMESTAMP_RES:
+        text = rx.sub("", text)
+    return _WS.sub(" ", text).strip().lower()

@@ -1,0 +1,487 @@
+"""The flagship pipeline: a round-based URL-frontier crawl on Ray Data.
+
+Implements exactly the spec in :mod:`crawler_ray.pipelines.golden` (which
+documents the mapping from the reference's sequential queue semantics), but
+as a streaming Dataset program per round:
+
+    frontier ──filter(not_before<=r)──► candidates
+        ├─ map_batches: per-block per-host top-B        (partial top-k)
+        ├─ groupby(host).map_groups: final top-B        (tiny shuffle: <=B/host/block)
+        ▼
+    selected ──map_batches(SyntheticFetcher actor pool)──► fetched
+        ──map_batches(parse_fetched_batch)──► parsed     (html dropped here)
+        ├─ status==200  → pages (append to round parquet)
+        ├─ retryable    → frontier rows (priority 0, not_before=backoff)
+        ├─ exhausted/4xx→ dead-letter table
+        └─ links: map_batches(explode+normalize+hash) → robots filter
+                  → groupby(url_hash) first-wins (round-local dedup)
+                  → sharded seen-set actors (fused anti-join seen_and_add)
+                  → new frontier rows
+    next frontier = deferred ∪ (candidates \\ selected) ∪ retries ∪ new
+
+Scale notes (10^10-URL design, tested single-node):
+- The only all-to-all exchanges per round are the final top-B groupby (over
+  per-block partial winners only) and the round-local link dedup groupby
+  (over one round's discoveries only); the frontier itself never shuffles.
+- The selected set's url_hashes are collected to the driver to subtract them
+  from the frontier and to record crawl order — bounded by the politeness
+  budget (budget * active hosts), not by data size.
+- The seen set lives in sharded actors (state/seen.py): the cuckoo backend
+  costs ~2 bytes/key => a 10^10-URL seen set is ~20 GB across a cluster's
+  shards; the exact backend gives byte-exact conformance at test scale.
+- Pages / order / seen-deltas / frontier snapshots are written per round
+  under ``checkpoint_dir``; the manifest is written LAST so its presence
+  marks a round complete, and :meth:`CrawlEngine.resume` restarts from the
+  first round whose state is durable.  Outputs are per-round directories,
+  so reruns overwrite idempotently (reference analogue: ON CONFLICT upserts,
+  ``/root/reference/sql/queries/crawled_page.sql:27-37``).
+- Mega-host skew: the per-host budget bounds per-round work per host, so a
+  mega-host cannot inflate a round; its backlog drains across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from crawler_ray.functions.url import normalize_and_hash
+from crawler_ray.pipelines.golden import (
+    MAX_RETRIES,
+    PRIORITY_DISCOVERED,
+    PRIORITY_RETRY,
+    PRIORITY_SEED,
+    backoff_rounds,
+    score_of,
+)
+from crawler_ray.stages.fetch import SyntheticFetcher
+from crawler_ray.stages.parse import explode_links, parse_fetched_batch
+from crawler_ray.state.robots import RobotsPolicy
+from crawler_ray.state.seen import ShardedSeen
+
+FRONTIER_FIELDS = [
+    ("url", pa.string()),
+    ("url_hash", pa.string()),
+    ("host", pa.string()),
+    ("priority", pa.int32()),
+    ("score", pa.int64()),
+    ("discovery_round", pa.int32()),
+    ("not_before_round", pa.int32()),
+    ("retry_count", pa.int32()),
+    ("lineage", pa.string()),
+]
+FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
+FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
+
+
+def bucket_of(host: str, n_buckets: int, salt: int = 0) -> int:
+    """Host-hash partition id (optional salt splits a mega-host's frontier
+    across buckets while keeping per-host politeness in one actor)."""
+    import hashlib
+
+    return (
+        int.from_bytes(hashlib.sha256(f"{host}:{salt}".encode()).digest()[:4], "big")
+        % n_buckets
+    )
+
+
+def _empty_frontier() -> pa.Table:
+    return pa.table({n: pa.array([], type=t) for n, t in FRONTIER_FIELDS})
+
+
+@dataclass
+class CrawlResult:
+    pages: "rd.Dataset"          # parsed pages incl. spans (no dup marks yet)
+    order: list[tuple[int, str, str]]   # (round, url_hash, url) in crawl order
+    seen: set[str]               # final URL-seen set (url_hash)
+    dlq_rows: list[dict]
+    metrics: list[dict] = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        web,
+        budget_per_host: int = 4,
+        max_rounds: int = 64,
+        seen_shards: int = 4,
+        seen_backend: str = "exact",
+        checkpoint_dir: str | None = None,
+        fetch_concurrency: int = 2,
+        fetch_batch_size: int = 128,
+        max_retries: int = MAX_RETRIES,
+        robots: RobotsPolicy | None = None,
+        requests_per_second: float | None = None,
+        frontier_blocks: int = 8,
+    ) -> None:
+        self.web = web
+        self.budget = budget_per_host
+        self.max_rounds = max_rounds
+        self.max_retries = max_retries
+        self.robots = robots if robots is not None else RobotsPolicy.for_miniweb(web)
+        self.checkpoint_dir = checkpoint_dir
+        self.fetch_concurrency = fetch_concurrency
+        self.fetch_batch_size = fetch_batch_size
+        self.requests_per_second = requests_per_second
+        self.frontier_blocks = frontier_blocks
+        self.seen = ShardedSeen(seen_shards, seen_backend)
+
+    # ------------------------------------------------------------ seeds
+    def _seed_frontier(self) -> pa.Table:
+        from urllib.parse import urlparse
+
+        rows = []
+        for seed in self.web.seeds():
+            try:
+                norm, uh = normalize_and_hash(seed)
+            except ValueError:
+                continue
+            if not self.robots.allowed(norm):
+                continue
+            rows.append(
+                {
+                    "url": norm, "url_hash": uh,
+                    "host": urlparse(norm).netloc.lower(),
+                    "priority": PRIORITY_SEED,
+                    "score": score_of(PRIORITY_SEED, 0),
+                    "discovery_round": 0, "not_before_round": 0,
+                    "retry_count": 0, "lineage": "",
+                }
+            )
+        if not rows:
+            return _empty_frontier()
+        tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+        new_mask = self.seen.filter_new(tbl["url_hash"].to_pylist())
+        return tbl.filter(pa.array(new_mask))
+
+    # ------------------------------------------------------------ selection
+    def _partial_topb(self, df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(["host", "score", "url_hash"], kind="mergesort")
+        return df.groupby("host", sort=False).head(self.budget)
+
+    def _final_topb(self, df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["score", "url_hash"], kind="mergesort").head(self.budget)
+
+    # ------------------------------------------------------------ run
+    def run(
+        self,
+        start_round: int = 0,
+        frontier: pa.Table | None = None,
+        prior_order: list | None = None,
+        prior_metrics: list | None = None,
+        prior_pages: list | None = None,
+        prior_seen: list | None = None,
+    ) -> CrawlResult:
+        robots = self.robots
+        seen_handle = self.seen
+        budget = self.budget
+
+        frontier_ds = rd.from_arrow(
+            frontier if frontier is not None else self._seed_frontier()
+        )
+        order: list[tuple[int, str, str]] = list(prior_order or [])
+        metrics: list[dict] = list(prior_metrics or [])
+        dlq_rows: list[dict] = []
+        page_parts: list[rd.Dataset] = list(prior_pages or [])
+        seen_log: list[str] = list(prior_seen or [])
+        if self.checkpoint_dir:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+
+        r = start_round
+        while r < self.max_rounds:
+            t0 = time.monotonic()
+            frontier_ds = frontier_ds.materialize()
+            n_frontier = frontier_ds.count()
+            if n_frontier == 0:
+                break
+            if self.checkpoint_dir:
+                self._write_frontier_snapshot(r, frontier_ds)
+
+            rr = r  # capture for closures
+            candidates = frontier_ds.map_batches(
+                lambda t, rr=rr: t.filter(pc.less_equal(t["not_before_round"], rr)),
+                batch_format="pyarrow",
+            )
+            deferred = frontier_ds.map_batches(
+                lambda t, rr=rr: t.filter(pc.greater(t["not_before_round"], rr)),
+                batch_format="pyarrow",
+            )
+
+            # partial top-B per block (distributed), final top-B on the driver
+            # over <= B*hosts*blocks partial winners — the selected set is
+            # driver-bound anyway (crawl-order record + frontier subtraction),
+            # and the budget caps it independent of data scale.
+            partial = candidates.map_batches(
+                self._partial_topb, batch_format="pandas"
+            ).take_all()
+            if not partial:
+                # everything runnable is deferred by retry backoff
+                frontier_ds = deferred
+                r += 1
+                continue
+            pdf = pd.DataFrame(partial)
+            pdf = pdf.sort_values(["host", "score", "url_hash"], kind="mergesort")
+            sel_df = (
+                pdf.groupby("host", sort=False)
+                .head(self.budget)
+                .sort_values(["score", "url_hash"], kind="mergesort")
+            )
+            sel_rows = sel_df.to_dict("records")
+            order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
+            sel_hashes = frozenset(d["url_hash"] for d in sel_rows)
+            selected_tbl = pa.Table.from_pandas(
+                sel_df, preserve_index=False
+            ).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+
+            remaining = candidates.map_batches(
+                lambda t, sh=sel_hashes: t.filter(
+                    pa.array([h not in sh for h in t["url_hash"].to_pylist()])
+                ),
+                batch_format="pyarrow",
+            )
+
+            fetch_stage = rd.from_arrow(selected_tbl)
+            if self.requests_per_second is not None:
+                # politeness pacing needs per-host wall-clock state -> actor pool
+                fetched = fetch_stage.map_batches(
+                    SyntheticFetcher,
+                    fn_constructor_args=(self.web, self.requests_per_second),
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                    concurrency=self.fetch_concurrency,
+                    num_cpus=1,
+                )
+            else:
+                # round budgets already enforce politeness: stateless tasks
+                # avoid per-round actor-pool startup
+                web = self.web
+                fetched = fetch_stage.map_batches(
+                    lambda t, web=web: SyntheticFetcher(web)(t),
+                    batch_format="pyarrow",
+                    batch_size=self.fetch_batch_size,
+                )
+            parsed = fetched.map_batches(
+                parse_fetched_batch, batch_format="pyarrow"
+            ).materialize()
+
+            def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
+                ok = t.filter(pc.equal(t["status"], 200))
+                ok = ok.drop_columns(["links", "not_before_round"])
+                return ok.append_column("round", pa.array([rr] * len(ok), type=pa.int32()))
+
+            pages_round = parsed.map_batches(_ok_pages, batch_format="pyarrow")
+            page_parts.append(pages_round)
+
+            # --- failures: retry or dead-letter ---------------------------
+            failed_rows = (
+                parsed.map_batches(
+                    lambda t: t.filter(pc.not_equal(t["status"], 200)).select(
+                        ["url", "url_hash", "host", "status", "retry_count", "lineage"]
+                    ),
+                    batch_format="pyarrow",
+                )
+            ).take_all()
+            retry_rows = []
+            for row in failed_rows:
+                retryable = row["status"] == 429 or row["status"] >= 500
+                if retryable and row["retry_count"] < self.max_retries:
+                    retry_rows.append(
+                        {
+                            "url": row["url"], "url_hash": row["url_hash"],
+                            "host": row["host"], "priority": PRIORITY_RETRY,
+                            "score": score_of(PRIORITY_RETRY, r + 1),
+                            "discovery_round": r + 1,
+                            "not_before_round": r + 1 + backoff_rounds(row["retry_count"]),
+                            "retry_count": row["retry_count"] + 1,
+                            "lineage": row["lineage"],
+                        }
+                    )
+                else:
+                    dlq_rows.append(
+                        {
+                            "url": row["url"], "url_hash": row["url_hash"],
+                            "status": row["status"], "round": r,
+                            "error_category": "server_error" if retryable else "not_found",
+                            "retry_count": row["retry_count"],
+                        }
+                    )
+            retries_tbl = (
+                pa.Table.from_pylist(retry_rows, schema=FRONTIER_SCHEMA)
+                if retry_rows
+                else _empty_frontier()
+            )
+
+            # --- discoveries ---------------------------------------------
+            # Round-local first-wins dedup + seen anti-join are FUSED in the
+            # seen shards (offer/resolve, state/seen.py): each task offers its
+            # block's candidates with the deterministic sortkey
+            # (parent_hash, dom_idx); shards keep the min per unseen hash.
+            def _offer_links(t: pa.Table) -> pa.Table:
+                t = t.filter(pa.array(robots.allowed_batch(t["url"].to_pylist())))
+                hashes = t["url_hash"].to_pylist()
+                parents = t["parent_hash"].to_pylist()
+                doms = t["dom_idx"].to_pylist()
+                urls = t["url"].to_pylist()
+                hosts = t["host"].to_pylist()
+                keys = [f"{p}:{d:08d}" for p, d in zip(parents, doms)]
+                n = seen_handle.offer(
+                    hashes, keys, list(zip(urls, hosts, parents))
+                )
+                return pa.table({"offered": pa.array([n], type=pa.int64())})
+
+            offered = (
+                parsed.map_batches(explode_links, batch_format="pyarrow")
+                .map_batches(_offer_links, batch_format="pyarrow")
+            )
+            offered.count()  # drive the offer stage to completion
+            winners = seen_handle.resolve()  # [(url_hash, url, host, parent)]
+            if winners:
+                n = len(winners)
+                new_tbl = pa.table(
+                    {
+                        "url": pa.array([w[1] for w in winners], type=pa.string()),
+                        "url_hash": pa.array([w[0] for w in winners], type=pa.string()),
+                        "host": pa.array([w[2] for w in winners], type=pa.string()),
+                        "priority": pa.array([PRIORITY_DISCOVERED] * n, type=pa.int32()),
+                        "score": pa.array(
+                            [score_of(PRIORITY_DISCOVERED, r + 1)] * n, type=pa.int64()
+                        ),
+                        "discovery_round": pa.array([r + 1] * n, type=pa.int32()),
+                        "not_before_round": pa.array([0] * n, type=pa.int32()),
+                        "retry_count": pa.array([0] * n, type=pa.int32()),
+                        "lineage": pa.array([w[3] for w in winners], type=pa.string()),
+                    }
+                ).cast(FRONTIER_SCHEMA)
+            else:
+                new_tbl = _empty_frontier()
+
+            # repartition bounds block count: deferred/remaining each inherit
+            # the previous frontier's blocks, so an unbounded union doubles
+            # blocks every round (exponential scheduling overhead)
+            frontier_ds = (
+                deferred.union(remaining)
+                .union(rd.from_arrow(retries_tbl))
+                .union(rd.from_arrow(new_tbl))
+                .map_batches(
+                    lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+                    batch_format="pyarrow",
+                )
+                .repartition(self.frontier_blocks)
+            )
+
+            metrics.append(
+                {
+                    "round": r,
+                    "frontier": n_frontier,
+                    "selected": len(sel_rows),
+                    "pages_ok": pages_round.count(),
+                    "failed": len(failed_rows),
+                    "retries": len(retry_rows),
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                }
+            )
+            seen_delta = self.seen.drain_new()
+            seen_log.extend(seen_delta)
+            if self.checkpoint_dir:
+                self._write_round_outputs(r, pages_round, sel_rows, seen_delta, metrics[-1])
+            r += 1
+
+        pages = page_parts[0] if page_parts else None
+        for p in page_parts[1:]:
+            pages = pages.union(p)
+        return CrawlResult(
+            pages=pages,
+            order=order,
+            seen=set(seen_log),
+            dlq_rows=dlq_rows,
+            metrics=metrics,
+        )
+
+    # ------------------------------------------------------------ checkpoint
+    def _round_dir(self, r: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"round={r:04d}")
+
+    def _write_frontier_snapshot(self, r: int, frontier_ds: "rd.Dataset") -> None:
+        d = os.path.join(self._round_dir(r), "frontier")
+        os.makedirs(d, exist_ok=True)
+        frontier_ds.write_parquet(d)
+
+    def _write_round_outputs(self, r, pages_round, sel_rows, seen_delta, metric) -> None:
+        d = self._round_dir(r)
+        os.makedirs(d, exist_ok=True)
+        if pages_round.count():
+            pages_round.write_parquet(os.path.join(d, "pages"))
+        with open(os.path.join(d, "order.json"), "w") as f:
+            json.dump([[r, s["url_hash"], s["url"]] for s in sel_rows], f)
+        with open(os.path.join(d, "seen_delta.json"), "w") as f:
+            json.dump(seen_delta, f)
+        # manifest written LAST: its presence marks the round complete
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(metric, f)
+
+    @classmethod
+    def resume(cls, web, checkpoint_dir: str, **kwargs) -> CrawlResult:
+        """Continue a crawl from durable per-round state.
+
+        A round r is replayable iff its frontier snapshot exists; it is
+        complete iff its manifest exists.  We restart at the first round
+        that is snapshotted but not complete (or after the last complete
+        round), loading prior order/pages/seen deltas from the complete
+        rounds only — re-running a round is idempotent because its outputs
+        overwrite its own round directory.
+        """
+        engine = cls(web, checkpoint_dir=checkpoint_dir, **kwargs)
+        if not os.path.isdir(checkpoint_dir):
+            return engine.run()
+        complete = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(checkpoint_dir)
+            if n.startswith("round=")
+            and os.path.exists(os.path.join(checkpoint_dir, n, "manifest.json"))
+        )
+        if not complete:
+            return engine.run()
+        start = complete[-1] + 1
+        snap = os.path.join(checkpoint_dir, f"round={start:04d}", "frontier")
+        if not os.path.isdir(snap):
+            # crashed after finishing round `last` but before snapshotting the
+            # next frontier: replay the last complete round from its snapshot
+            start = complete[-1]
+            complete = complete[:-1]
+            snap = os.path.join(checkpoint_dir, f"round={start:04d}", "frontier")
+
+        order, metrics, pages, seen_all = [], [], [], []
+        for rr in complete:
+            d = os.path.join(checkpoint_dir, f"round={rr:04d}")
+            with open(os.path.join(d, "order.json")) as f:
+                order.extend(tuple(x) for x in json.load(f))
+            with open(os.path.join(d, "manifest.json")) as f:
+                metrics.append(json.load(f))
+            with open(os.path.join(d, "seen_delta.json")) as f:
+                seen_all.extend(json.load(f))
+            pdir = os.path.join(d, "pages")
+            if os.path.isdir(pdir):
+                pages.append(rd.read_parquet(pdir))
+        # seeds are part of round 0's delta; on a full restart the seed pass
+        # re-adds them, so only bulk-load when skipping ahead
+        engine.seen.add_bulk(seen_all)
+        engine.seen.drain_new()  # discard resume-load delta
+        frontier_tbl = pq.read_table(snap).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+        return engine.run(
+            start_round=start,
+            frontier=frontier_tbl,
+            prior_order=order,
+            prior_metrics=metrics,
+            prior_pages=pages,
+            prior_seen=seen_all,
+        )

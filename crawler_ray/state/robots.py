@@ -1,0 +1,62 @@
+"""Robots policy (a north-rule addition — the reference has none).
+
+The reference crawler never consults robots.txt (zero grep hits across
+``/root/reference/crawler``); BASELINE.json's north_rule layers robots
+enforcement on top.  Semantics here are the standard longest-match
+Disallow/Allow prefix rules of ``urllib.robotparser``, applied for
+user-agent ``*``.
+
+Deployment shape: one :class:`RobotsPolicy` is built on the driver (in the
+sandbox, from the miniweb's static rule set; against a real network the
+fetch actors would fetch+parse ``/robots.txt`` per host lazily) and
+broadcast to every parse/fetch stage via ``ray.put`` — a classic
+small-side broadcast, never a shuffle.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+from urllib.robotparser import RobotFileParser
+
+
+class RobotsPolicy:
+    """Per-host allow/deny, cheap to pickle, lazily compiled parsers."""
+
+    def __init__(self, host_rules: dict[str, str] | None = None) -> None:
+        # host -> raw robots.txt body ('' = allow all)
+        self.host_rules = host_rules or {}
+        self._parsers: dict[str, RobotFileParser] = {}
+
+    def __getstate__(self):
+        return self.host_rules
+
+    def __setstate__(self, state):
+        self.host_rules = state
+        self._parsers = {}
+
+    def _parser(self, host: str) -> RobotFileParser | None:
+        body = self.host_rules.get(host)
+        if not body:
+            return None
+        p = self._parsers.get(host)
+        if p is None:
+            p = RobotFileParser()
+            p.parse(("User-agent: *\n" + body).splitlines())
+            self._parsers[host] = p
+        return p
+
+    def allowed(self, url: str) -> bool:
+        host = urlparse(url).netloc.lower()
+        p = self._parser(host)
+        return True if p is None else p.can_fetch("*", url)
+
+    def allowed_batch(self, urls: list[str | None]) -> list[bool]:
+        return [bool(u) and self.allowed(u) for u in urls]
+
+    @classmethod
+    def for_miniweb(cls, web) -> "RobotsPolicy":
+        """Static policy for the synthetic web (same Disallow set per host)."""
+        from crawler_ray.sources.miniweb import ROBOTS_DISALLOW
+
+        body = "".join(f"Disallow: {d}\n" for d in ROBOTS_DISALLOW)
+        return cls({h: body for h in web.hosts()})

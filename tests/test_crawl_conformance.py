@@ -1,0 +1,74 @@
+"""North-rule conformance: the Ray crawl engine must reproduce the golden
+(sequential reference-semantics) interpreter exactly on the same mini-web,
+same seed list, same politeness budget:
+
+- crawl ORDER: identical (round, url_hash) sequence;
+- URL-SEEN SET: identical final set;
+- DLQ: identical failure records;
+- per-row span-sequence equality (kind, text, media_ref, order) and identical
+  content_hash / simhash — the BASELINE.json input_hint invariant.
+"""
+
+import pytest
+
+from crawler_ray.functions.simhash import from_signed
+from crawler_ray.pipelines.golden import golden_crawl
+from crawler_ray.sources.miniweb import MiniWeb
+
+WEB = MiniWeb(n_docs=48, n_hosts=3, dead_link_every=2)
+BUDGET = 4
+ROUNDS = 40
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return golden_crawl(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def ray_crawl(ray_session):
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    engine = CrawlEngine(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS, seen_shards=2)
+    return engine.run()
+
+
+def test_crawl_order_exact(golden, ray_crawl):
+    assert [(r, h) for r, h, _ in golden.order] == [(r, h) for r, h, _ in ray_crawl.order]
+
+
+def test_seen_set_exact(golden, ray_crawl):
+    assert golden.seen == ray_crawl.seen
+
+
+def test_dlq_exact(golden, ray_crawl):
+    g = {(d["url_hash"], d["status"], d["round"]) for d in golden.dlq}
+    r = {(d["url_hash"], d["status"], d["round"]) for d in ray_crawl.dlq_rows}
+    assert g == r
+    assert len(golden.dlq) > 0  # the mini-web must actually exercise the DLQ
+
+
+def test_span_sequence_equality(golden, ray_crawl):
+    gpages = {p["url_hash"]: p for p in golden.pages}
+    rows = ray_crawl.pages.take_all()
+    assert len(rows) == len(golden.pages)
+    for row in rows:
+        gp = gpages[row["url_hash"]]
+        gsp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in gp["spans"]]
+        rsp = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        assert gsp == rsp, row["url"]
+        assert gp["content_hash"] == row["content_hash"]
+        assert gp["simhash"] == from_signed(int(row["simhash"]))
+
+
+def test_robots_never_fetched(golden, ray_crawl):
+    assert not any("/private/" in u for _, _, u in ray_crawl.order)
+    assert not any("/private/" in u for _, _, u in golden.order)
+
+
+def test_retries_recorded(golden, ray_crawl):
+    # flaky pages appear twice in the order (initial 500 + retry success)
+    from collections import Counter
+
+    counts = Counter(h for _, h, _ in ray_crawl.order)
+    assert any(c > 1 for c in counts.values())
