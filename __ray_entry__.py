@@ -1,44 +1,74 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (round-based URL frontier over
+the deterministic mini-web sized from sf0.001, politeness budget, sharded
+seen set, dedup marking) and returns the interleaved-span documents Dataset
+(BASELINE.json input_hint schema: doc_id + spans list<struct<kind, text,
+media_ref, offset>> plus provenance/dedup columns).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+family from SURVEY.md §2 (see crawler_ray/pipelines/queries.py).  Ray is
+initialised by the caller; nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers resolve modules via the driver's cwd; make the package
+# importable even when the driver was launched elsewhere.
+os.environ.setdefault("PYTHONPATH", _REPO)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.stages.dedupe import mark_duplicates
+
+    web = miniweb_for_sf("/root/testdata/sf0.001")
+    if web.n_docs > 300:
+        web = type(web)(n_docs=300)
+    engine = CrawlEngine(web, budget_per_host=8, max_rounds=48, seen_shards=2)
+    result = engine.run()
+    marked = mark_duplicates(result.pages)
+
+    def to_documents(t: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "doc_id": t["url_hash"],
+                "url": t["url"],
+                "host": t["host"],
+                "round": t["round"],
+                "title": t["title"],
+                "spans": t["spans"],
+                "n_spans": pc.list_value_length(t["spans"]),
+                "content_hash": t["content_hash"],
+                "simhash": t["simhash"],
+                "is_duplicate": t["is_duplicate"],
+                "duplicate_of": t["duplicate_of"],
+                "similarity_score": t["similarity_score"],
+            }
+        )
+
+    return marked.map_batches(to_documents, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.pipelines import queries as q
+
+    return q.oracle_sql()

@@ -66,6 +66,24 @@ def test_robots_never_fetched(golden, ray_crawl):
     assert not any("/private/" in u for _, _, u in golden.order)
 
 
+def test_duplicate_marking_exact_and_fuzzy(golden, ray_crawl):
+    from crawler_ray.stages.dedupe import mark_duplicates
+
+    marked = mark_duplicates(ray_crawl.pages)
+    gp = {p["url_hash"]: p for p in golden.pages}
+    rows = marked.take_all()
+    n_dups = 0
+    for row in rows:
+        p = gp[row["url_hash"]]
+        assert bool(p["is_duplicate"]) == bool(row["is_duplicate"]), row["url"]
+        assert p["duplicate_of"] == row["duplicate_of"], row["url"]
+        gs = p["similarity_score"]
+        rs = row["similarity_score"]
+        assert (gs is None) == (rs is None) and (gs or 0) == (rs or 0), row["url"]
+        n_dups += bool(row["is_duplicate"])
+    assert n_dups > 0  # the mini-web must exercise both dup paths
+
+
 def test_retries_recorded(golden, ray_crawl):
     # flaky pages appear twice in the order (initial 500 + retry success)
     from collections import Counter
