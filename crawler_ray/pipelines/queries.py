@@ -477,7 +477,15 @@ def q_doc_source_stats(sf_dir: str):
     Canonical-id map (distinct hash -> min doc_id) is built distributed,
     then broadcast for the marking pass (small side: one entry per distinct
     content)."""
-    canon_rows = q_doc_exact_dedup(sf_dir).take_all()
+    canon_rows = (
+        q_doc_exact_dedup(sf_dir)
+        # arrow blocks before take_all (pandas-block row conversion is slow)
+        .map_batches(
+            lambda df: pa.Table.from_pandas(df, preserve_index=False),
+            batch_format="pandas",
+        )
+        .take_all()
+    )
     canon = {r["content_hash"]: r["first_doc_id"] for r in canon_rows}
     ref = ray.put(canon)
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
@@ -626,13 +634,18 @@ def _doc_shingle_sets(sf_dir: str) -> dict[int, frozenset]:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def per_batch(df: pd.DataFrame) -> pa.Table:
         rows = [
             (int(d), sorted(shingles_of(tokens_of(t), SHINGLE_K)))
             for d, t in zip(df["doc_id"], df["text"])
         ]
-        return pd.DataFrame({"doc_id": [r[0] for r in rows],
-                             "shingles": [r[1] for r in rows]})
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "shingles": pa.array([r[1] for r in rows],
+                                     type=pa.list_(pa.string())),
+            }
+        )
 
     out = {}
     for row in ds.map_batches(per_batch, batch_format="pandas").take_all():
@@ -886,6 +899,14 @@ SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine FROM (
 ) WHERE rn <= {KNN_K}
 """
 
+def q_knn_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate kNN (rows-only: approximate by design;
+    recall vs q_knn_bruteforce asserted in tests/test_ann_media.py)."""
+    from crawler_ray.stages.ann import ann_query
+
+    return ann_query(sf_dir, n_queries=KNN_QUERIES, k=KNN_K)
+
+
 EMB_PAIR_LIMIT = 200
 EMB_PAIR_THRESHOLD = 0.35
 
@@ -1070,6 +1091,7 @@ QUERIES = {
     "doc_simhash_bands": q_doc_simhash_bands,
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_ann_lsh": q_knn_ann_lsh,
     "emb_similar_pairs": q_emb_similar_pairs,
     "emb_label_stats": q_emb_label_stats,
     "url_normalize": q_url_normalize,

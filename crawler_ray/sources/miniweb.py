@@ -58,6 +58,13 @@ class MiniWeb:
     flaky_every: int = 23                 # every k-th doc 500s until 1 retry
     dead_link_every: int = 7              # list pages embed a dead link
     cross_link_every: int = 3             # list pages embed a cross-host link
+    words_per_doc: int = 60               # body weight (bench uses heavier pages)
+    # The reference expands pagination upfront (crawl_executor.py:272-303
+    # generates the page-1..N URL list from the seed before fetching), so a
+    # list page exposes the full paginator, capped like the reference's
+    # max_pages=100 (crawler/services/pagination.py:41); deeper pages chain
+    # via "next" links only.
+    paginator_window: int = 100
     vocab: tuple[str, ...] = field(
         default=(
             "putusan", "mahkamah", "agung", "nomor", "tahun", "tentang",
@@ -96,7 +103,7 @@ class MiniWeb:
         """Deterministic word stream for a detail page's body."""
         rng = _h64(f"{self.seed}:{host}:{n}:body")
         words = []
-        for i in range(60):
+        for i in range(self.words_per_doc):
             rng = (rng * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             words.append(self.vocab[rng % len(self.vocab)])
         return words
@@ -116,7 +123,7 @@ class MiniWeb:
             words[-1] = self.vocab[n % len(self.vocab)]
             return paras[:-1] + [" ".join(words)]
         words = self._doc_words(host, n)
-        return [" ".join(words[i : i + 15]) for i in range(0, 60, 15)]
+        return [" ".join(words[i : i + 15]) for i in range(0, len(words), 15)]
 
     def is_flaky(self, host: str, n: int) -> bool:
         return bool(self.flaky_every) and n % self.flaky_every == self.flaky_every - 1
@@ -192,7 +199,17 @@ class MiniWeb:
             other = self.hosts()[(page + self.hosts().index(host)) % len(self.hosts())]
             links.append(f'<a href="https://{other}/list?page=1">mitra</a>')
         links.append(f'<a href="/private/{page}">internal</a>')
-        if page < self.list_pages_on_host(host):
+        # paginator window around the current page (reference-style upfront
+        # pagination expansion, crawl_executor.py:272-303, capped like
+        # max_pages=100), plus a plain next link
+        n_list = self.list_pages_on_host(host)
+        half = self.paginator_window // 2
+        lo = max(1, page - half)
+        hi = min(n_list, page + half)
+        for p in range(lo, hi + 1):
+            if p != page:
+                links.append(f'<a href="/list?page={p}">hal {p}</a>')
+        if page < n_list:
             links.append(f'<a href="/list?page={page + 1}">berikutnya</a>')
         items = "\n".join(f"<li>{a}</li>" for a in links)
         return (

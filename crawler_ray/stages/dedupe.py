@@ -52,54 +52,78 @@ def _rank_key_col(t: pa.Table) -> pa.Table:
     return t.append_column("rank_key", pa.array(rk, type=pa.string()))
 
 
-def _exact_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Per content_hash group: first (by rank) is canonical, rest are exact dups."""
-    df = df.sort_values("rank_key", kind="mergesort")
-    canon = df.iloc[0]["url_hash"]
-    out = df[["url_hash", "simhash", "rank_key"]].copy()
-    # nullable dtypes: an all-null object column would infer Arrow null type
-    # in one block and string in another, breaking the union
-    out["dup_of"] = pd.array([None] + [canon] * (len(df) - 1), dtype="string")
-    out["similarity"] = pd.array([None] + [100] * (len(df) - 1), dtype="Int32")
-    return out
-
-
-def _band_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Per (band, value) bucket: all ordered pairs within Hamming <= 3."""
-    if len(df) < 2:
-        return pd.DataFrame(
-            {
-                "url_hash": pd.array([], dtype="object"),
-                "dup_of": pd.array([], dtype="object"),
-                "distance": pd.array([], dtype="int64"),
-                "a_rank": pd.array([], dtype="object"),
-            }
-        )
-    df = df.sort_values("rank_key", kind="mergesort")
-    fps = from_signed(df["simhash"].to_numpy(dtype=np.int64))
-    xor = fps[:, None] ^ fps[None, :]
-    # byte-wise popcount (numpy<2 lacks bitwise_count)
-    d = np.unpackbits(xor.view(np.uint8).reshape(len(df), len(df), 8), axis=-1).sum(-1)
-    ii, jj = np.where(np.triu(d <= MAX_HAMMING, k=1))  # i earlier than j
-    return pd.DataFrame(
+def _exact_bucket(df: pd.DataFrame) -> pa.Table:
+    """Vectorized per-bucket exact-dup marking: a content_hash lives wholly
+    in one bucket; the rank-first row per hash is canonical.  Bucketing keeps
+    group counts off the Ray shuffle (thousands of tiny map_groups calls
+    cost ~15 ms each); inside the bucket everything is one pandas pass."""
+    df = df.sort_values(["content_hash", "rank_key"], kind="mergesort")
+    first = df.groupby("content_hash", sort=False)["url_hash"].transform("first")
+    is_dup = df["url_hash"].to_numpy() != first.to_numpy()
+    return pa.table(
         {
-            "url_hash": df["url_hash"].to_numpy()[jj],
-            "dup_of": df["url_hash"].to_numpy()[ii],
-            "distance": d[ii, jj].astype(np.int64),
-            "a_rank": df["rank_key"].to_numpy()[ii],
+            "url_hash": pa.array(df["url_hash"].tolist(), type=pa.string()),
+            "simhash": pa.array(df["simhash"].tolist(), type=pa.int64()),
+            "rank_key": pa.array(df["rank_key"].tolist(), type=pa.string()),
+            "dup_of": pa.array(
+                [f if d else None for f, d in zip(first.tolist(), is_dup)],
+                type=pa.string(),
+            ),
+            "similarity": pa.array(
+                [100 if d else None for d in is_dup], type=pa.int32()
+            ),
         }
     )
 
 
-def _best_match(df: pd.DataFrame) -> pd.DataFrame:
-    """Per later-page: keep min (distance, earlier-rank) candidate."""
-    df = df.sort_values(["distance", "a_rank"], kind="mergesort")
-    first = df.iloc[0]
-    sim = max(0, min(100, int((1 - int(first["distance"]) / 64) * 100)))
-    return pd.DataFrame(
-        {"url_hash": [first["url_hash"]], "dup_of": [first["dup_of"]],
-         "similarity": [sim]}
+def _band_pairs_bucket(df: pd.DataFrame) -> pa.Table:
+    """Per hash-bucket of (band, value) keys: vectorized self-join on the
+    band key, then pairwise Hamming verify on the matched pairs only."""
+    empty = pa.table(
+        {
+            "url_hash": pa.array([], type=pa.string()),
+            "dup_of": pa.array([], type=pa.string()),
+            "distance": pa.array([], type=pa.int64()),
+            "a_rank": pa.array([], type=pa.string()),
+        }
     )
+    if len(df) < 2:
+        return empty
+    m = df.merge(df, on=["band", "val"], suffixes=("_a", "_b"))
+    m = m[m["rank_key_a"] < m["rank_key_b"]]
+    if m.empty:
+        return empty
+    fa = from_signed(m["simhash_a"].to_numpy(dtype=np.int64))
+    fb = from_signed(m["simhash_b"].to_numpy(dtype=np.int64))
+    xor = fa ^ fb
+    d = np.unpackbits(xor.view(np.uint8).reshape(len(m), 8), axis=-1).sum(-1)
+    keep = d <= MAX_HAMMING
+    return pa.table(
+        {
+            "url_hash": pa.array(m["url_hash_b"].to_numpy()[keep], type=pa.string()),
+            "dup_of": pa.array(m["url_hash_a"].to_numpy()[keep], type=pa.string()),
+            "distance": pa.array(d[keep].astype(np.int64)),
+            "a_rank": pa.array(m["rank_key_a"].to_numpy()[keep], type=pa.string()),
+        }
+    )
+
+
+def _best_match_bucket(df: pd.DataFrame) -> pa.Table:
+    """Per hash-bucket of later-page url_hashes: vectorized min
+    (distance, earlier-rank) per url_hash."""
+    df = df.sort_values(["url_hash", "distance", "a_rank"], kind="mergesort")
+    first = df.groupby("url_hash", sort=False).head(1)
+    sims = np.clip(((1 - first["distance"].to_numpy() / 64) * 100).astype(np.int64), 0, 100)
+    return pa.table(
+        {
+            "url_hash": pa.array(first["url_hash"].tolist(), type=pa.string()),
+            "dup_of": pa.array(first["dup_of"].tolist(), type=pa.string()),
+            "similarity": pa.array(sims, type=pa.int32()),
+        }
+    )
+
+
+N_DEDUP_BUCKETS = 32
 
 
 def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
@@ -108,9 +132,20 @@ def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
         ["url_hash", "content_hash", "simhash", "round", "score"]
     ).map_batches(_rank_key_col, batch_format="pyarrow")
 
+    def _hash_bucket(t: pa.Table, col: str) -> pa.Table:
+        import hashlib as _hl
+
+        b = [
+            int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % N_DEDUP_BUCKETS
+            for v in t[col].to_pylist()
+        ]
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
     by_hash = (
-        narrow.groupby("content_hash")
-        .map_groups(_exact_group, batch_format="pandas")
+        narrow.map_batches(lambda t: _hash_bucket(t, "content_hash"),
+                           batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_exact_bucket, batch_format="pandas")
         .materialize()
     )
     exact_marks = {
@@ -120,36 +155,47 @@ def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
     }
 
     canon = by_hash.map_batches(
-        lambda df: df[df["dup_of"].isna()][["url_hash", "simhash", "rank_key"]],
-        batch_format="pandas",
+        lambda t: t.filter(pa.compute.is_null(t["dup_of"])).select(
+            ["url_hash", "simhash", "rank_key"]
+        ),
+        batch_format="pyarrow",
     )
 
     def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
+
         if df.empty:
-            return pd.DataFrame({"band": [], "val": [], "url_hash": [],
-                                 "simhash": [], "rank_key": []})
+            return pd.DataFrame({"band": [], "val": [], "bucket": [],
+                                 "url_hash": [], "simhash": [], "rank_key": []})
         fps = from_signed(df["simhash"].to_numpy(dtype=np.int64))
         bk = band_keys(fps, N_BANDS)
         n = len(df)
+        band = np.repeat(np.arange(N_BANDS), n)
+        val = bk.T.reshape(-1).astype(np.int64)
+        bucket = [
+            int(_hl.md5(f"{b}:{v}".encode()).hexdigest()[:8], 16) % N_DEDUP_BUCKETS
+            for b, v in zip(band, val)
+        ]
         return pd.DataFrame(
             {
-                "band": np.repeat(np.arange(N_BANDS), n),
-                "val": bk.T.reshape(-1).astype(np.int64),
+                "band": band,
+                "val": val,
+                "bucket": bucket,
                 "url_hash": np.tile(df["url_hash"].to_numpy(), N_BANDS),
                 "simhash": np.tile(df["simhash"].to_numpy(), N_BANDS),
                 "rank_key": np.tile(df["rank_key"].to_numpy(), N_BANDS),
             }
         )
 
-    fuzzy_candidates = (
-        canon.map_batches(_explode_bands, batch_format="pandas")
-        .groupby(["band", "val"])
-        .map_groups(_band_group, batch_format="pandas")
-    )
-    # the same pair can surface from multiple bands -> dedup then best-match
     fuzzy_best = (
-        fuzzy_candidates.groupby("url_hash")
-        .map_groups(_best_match, batch_format="pandas")
+        canon.map_batches(_explode_bands, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_band_pairs_bucket, batch_format="pandas")
+        # same pair may surface from several bands; min-per-url_hash is
+        # idempotent over those duplicates, so no pre-dedup pass is needed
+        .map_batches(lambda t: _hash_bucket(t, "url_hash"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_best_match_bucket, batch_format="pandas")
         .materialize()
     )
     fuzzy_marks = {

@@ -54,10 +54,11 @@ class SyntheticFetcher:
     """
 
     def __init__(self, web, requests_per_second: float | None = None,
-                 burst: int = 10) -> None:
+                 burst: int = 10, net_latency_sec: float = 0.0) -> None:
         self.web = web
         self.rps = requests_per_second
         self.burst = burst
+        self.net_latency_sec = net_latency_sec  # simulated RTT per request
         self._buckets: dict[str, TokenBucket] = {}
 
     def _pace(self, host: str) -> None:
@@ -75,6 +76,8 @@ class SyntheticFetcher:
         statuses, htmls = [], []
         for url, rc, host in zip(urls, retries, hosts):
             self._pace(host)
+            if self.net_latency_sec:
+                time.sleep(self.net_latency_sec)
             status, html = self.web.fetch(url, retry_count=rc or 0)
             statuses.append(status)
             htmls.append(html)

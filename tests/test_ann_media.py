@@ -1,0 +1,73 @@
+"""ANN recall vs brute force + multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+
+def test_ann_recall_vs_bruteforce(ray_session, sf_dir):
+    from crawler_ray.pipelines.queries import q_knn_bruteforce
+    from crawler_ray.stages.ann import ann_query
+
+    exact = {}
+    for r in q_knn_bruteforce(sf_dir).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ann_query(sf_dir).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == len(exact)
+    assert float(np.mean(recalls)) >= 0.6, recalls
+
+
+def test_ann_deterministic(ray_session, sf_dir):
+    from crawler_ray.stages.ann import ann_query
+
+    a = sorted(map(tuple, (r.values() for r in ann_query(sf_dir).take_all())))
+    b = sorted(map(tuple, (r.values() for r in ann_query(sf_dir).take_all())))
+    assert a == b
+
+
+def test_media_pipeline(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.stages.media import (
+        MediaCodecUnavailable, MediaDecodeStage, media_rows_from_spans,
+        synth_payload,
+    )
+
+    spans = [
+        [{"kind": "media", "text": "", "media_ref": f"https://h/media/{i}.png",
+          "offset": 0},
+         {"kind": "text", "text": "x", "media_ref": "", "offset": 1}]
+        for i in range(10)
+    ]
+    pages = pa.table({"spans": pa.array(spans)})
+    media = media_rows_from_spans(pages)
+    assert media.num_rows == 10
+    assert media["n_bytes"].to_pylist() == [4096] * 10
+    # deterministic payloads
+    assert synth_payload("a") == synth_payload("a") != synth_payload("b")
+
+    decoded = (
+        rd.from_arrow(media)
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"codec": "synth"},
+            batch_size=4,
+            concurrency=2,
+            num_cpus=1,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    assert len(decoded) == 10
+    assert len(decoded[0]["thumb"]) == 64  # 8x8
+    assert len(decoded[0]["features"]) == 16
+    assert "payload" not in decoded[0]  # wide column dropped after decode
+
+    with pytest.raises(MediaCodecUnavailable):
+        MediaDecodeStage(codec="pil")
