@@ -265,7 +265,7 @@ class CrawlEngine:
 
             # split the selected set so the fetch pool actually parallelizes
             # (from_arrow yields ONE block == one task otherwise)
-            n_fetch_blocks = max(1, min(64, len(sel_rows) // self.fetch_batch_size))
+            n_fetch_blocks = max(1, min(128, len(sel_rows) // self.fetch_batch_size))
             fetch_stage = rd.from_arrow(selected_tbl).repartition(n_fetch_blocks)
             if self.requests_per_second is not None:
                 # politeness pacing needs per-host wall-clock state -> actor pool

@@ -1,0 +1,306 @@
+"""Declarative multi-step workflow execution (the reference's user-facing
+pipeline API) on Ray Data.
+
+Reference lifecycle (``/root/reference/crawler/services/step_orchestrator.py:
+122-180``, §3.1 of SURVEY.md): a job is a list of step dicts (type crawl |
+scrape, method, config, selectors, input_from, skip_if / run_only_if);
+steps are validated + topologically ordered (Kahn,
+``dependency_validator.py:181-226``), then run sequentially, threading a
+context of variables + step outputs.  Inside a step the reference fetches
+URLs with asyncio batches of 100 (``scrape_executor.py:46,125-144``); here a
+step IS a Ray Dataset pipeline (``map_batches`` fetch + selector
+extraction), so intra-step parallelism is the cluster, while step ordering
+stays sequential (it is a data dependency).
+
+Reference quirks preserved deliberately:
+- a crawl step uses only the FIRST seed of a list
+  (``crawl_executor.py:101-117``);
+- crawl-step URL dedup is ORDER-PRESERVING first-wins
+  (``crawl_executor.py:173-174``: ``list(dict.fromkeys(urls))`` — here keyed
+  by (page_idx, dom_idx) so the distributed result is identical);
+- scrape errors keep only the first 5 messages
+  (``scrape_executor.py:209-211``);
+- condition evaluation failures default to running the step
+  (``step_orchestrator.py:389-444``).
+
+Scale note: step outputs (URL lists / item lists) live in the driver context
+exactly as the reference holds them in its StepExecutionContext — bounded by
+pagination caps and page size.  Unbounded-frontier crawling is the flagship
+:mod:`crawler_ray.pipelines.crawl` engine, not this API.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from crawler_ray.functions import html as H
+from crawler_ray.functions.conditions import should_run
+from crawler_ray.functions.pagination import detect_pattern, template_pattern
+from crawler_ray.functions.selectors import extract_fields, json_path
+from crawler_ray.functions.variables import resolve
+from crawler_ray.stages.fetch import SyntheticFetcher
+
+SCRAPE_FETCH_BATCH = 100  # reference scrape gather batch (scrape_executor.py:46)
+
+
+@dataclass
+class Step:
+    name: str
+    type: str                       # crawl | scrape
+    method: str = "http"            # http | api (browser -> unsupported here)
+    config: dict = dc_field(default_factory=dict)
+    selectors: dict = dc_field(default_factory=dict)
+    input_from: str = ""            # "step.field" dot path
+    skip_if: str = ""
+    run_only_if: str = ""
+    depends_on: list[str] = dc_field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Step":
+        return cls(
+            name=d["name"], type=d["type"], method=d.get("method", "http"),
+            config=d.get("config", {}), selectors=d.get("selectors", {}),
+            input_from=d.get("input_from", ""), skip_if=d.get("skip_if", ""),
+            run_only_if=d.get("run_only_if", ""),
+            depends_on=list(d.get("depends_on", [])),
+        )
+
+
+def validate_workflow(steps: list[Step]) -> list[Step]:
+    """Kahn topological order; duplicate names, unknown deps, and cycles
+    raise ValueError (dependency_validator.py:27-226)."""
+    names = [s.name for s in steps]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate step names: {dupes}")
+    by_name = {s.name: s for s in steps}
+    deps: dict[str, set[str]] = {}
+    for s in steps:
+        wanted = set(s.depends_on)
+        if s.input_from:
+            wanted.add(s.input_from.split(".")[0])
+        missing = wanted - set(names)
+        if missing:
+            raise ValueError(f"step '{s.name}' depends on unknown steps: {sorted(missing)}")
+        deps[s.name] = wanted
+    order: list[Step] = []
+    ready = [s for s in steps if not deps[s.name]]
+    done: set[str] = set()
+    while ready:
+        s = ready.pop(0)
+        order.append(s)
+        done.add(s.name)
+        for t in steps:
+            if t.name not in done and t not in ready and deps[t.name] <= done:
+                ready.append(t)
+    if len(order) != len(steps):
+        stuck = sorted(set(names) - {s.name for s in order})
+        raise ValueError(f"dependency cycle among steps: {stuck}")
+    return order
+
+
+class WorkflowRunner:
+    """Executes a validated workflow against a fetch backend (the mini-web
+    in this sandbox; anything satisfying ``fetch(url, retry_count) ->
+    (status, html)``)."""
+
+    def __init__(self, web, fetch_batch_size: int = SCRAPE_FETCH_BATCH,
+                 max_pages_default: int = 100) -> None:
+        self.web = web
+        self.fetch_batch_size = fetch_batch_size
+        self.max_pages_default = max_pages_default
+
+    # ------------------------------------------------------------ fetch
+    def _fetch_ds(self, urls: list[str]) -> "rd.Dataset":
+        tbl = pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "host": pa.array(
+                    [u.split("/", 3)[2].lower() if "://" in u else "" for u in urls],
+                    type=pa.string(),
+                ),
+                "retry_count": pa.array([0] * len(urls), type=pa.int32()),
+                "page_idx": pa.array(range(len(urls)), type=pa.int64()),
+            }
+        )
+        n_blocks = max(1, min(64, len(urls) // max(1, self.fetch_batch_size // 4)))
+        web = self.web
+        return (
+            rd.from_arrow(tbl)
+            .repartition(n_blocks)
+            .map_batches(
+                lambda t, web=web: SyntheticFetcher(web)(t),
+                batch_format="pyarrow", batch_size=self.fetch_batch_size,
+            )
+        )
+
+    # ------------------------------------------------------------ steps
+    def _run_crawl(self, step: Step, context: dict, seed_url: str | None) -> dict:
+        cfg = step.config
+        seeds = cfg.get("seed_urls") or ([cfg["seed_url"]] if cfg.get("seed_url") else [])
+        if not seeds and seed_url:
+            seeds = [seed_url]
+        if not seeds:
+            raise ValueError(f"crawl step '{step.name}' has no seed URL")
+        seed = seeds[0]  # reference quirk: first seed only
+
+        pag = cfg.get("pagination", {})
+        urls = [seed]
+        if pag.get("enabled"):
+            max_pages = int(pag.get("max_pages", self.max_pages_default))
+            if pag.get("url_template"):
+                pattern = template_pattern(
+                    pag["url_template"], int(pag.get("start_page", 1))
+                )
+            else:
+                pattern = detect_pattern(seed)
+            if pattern is not None:
+                urls += pattern.pages(seed, max_pages=max_pages)
+
+        link_selector = None
+        link_field = cfg.get("url_field", "urls")
+        for fname, spec in (step.selectors or {}).items():
+            link_field = fname
+            link_selector = spec
+            break
+
+        def extract_links(t: pa.Table) -> pa.Table:
+            rows_page, rows_dom, rows_url, titles = [], [], [], []
+            for url, html_body, status, pidx in zip(
+                t["url"].to_pylist(), t["html"].to_pylist(),
+                t["status"].to_pylist(), t["page_idx"].to_pylist(),
+            ):
+                if status != 200 or not html_body:
+                    continue
+                if link_selector is not None:
+                    spec = link_selector if isinstance(link_selector, dict) else {
+                        "selector": link_selector, "multiple": True
+                    }
+                    spec = {**spec, "multiple": True}
+                    found = extract_fields(html_body, {"x": spec})["x"]
+                else:
+                    spans = H.parse_spans(html_body)
+                    found = [u for u, _ in H.extract_links(spans, url)]
+                from urllib.parse import urljoin
+
+                for di, link in enumerate(found):
+                    rows_page.append(pidx)
+                    rows_dom.append(di)
+                    rows_url.append(urljoin(url, link))
+                    titles.append("")
+            return pa.table(
+                {
+                    "page_idx": pa.array(rows_page, type=pa.int64()),
+                    "dom_idx": pa.array(rows_dom, type=pa.int64()),
+                    "url": pa.array(rows_url, type=pa.string()),
+                }
+            )
+
+        fetched = self._fetch_ds(urls)
+        links = fetched.map_batches(extract_links, batch_format="pyarrow")
+        rows = links.take_all()
+        # order-preserving first-wins distinct (crawl_executor.py:173-174)
+        rows.sort(key=lambda r: (r["page_idx"], r["dom_idx"]))
+        seen: set[str] = set()
+        ordered: list[str] = []
+        for r in rows:
+            if r["url"] not in seen:
+                seen.add(r["url"])
+                ordered.append(r["url"])
+        return {
+            link_field: ordered,
+            "_crawl_metadata": {
+                "pages_crawled": len(urls),
+                "total_urls": len(ordered),
+                "duplicate_urls": len(rows) - len(ordered),
+            },
+        }
+
+    def _run_scrape(self, step: Step, context: dict) -> dict:
+        if not step.input_from:
+            raise ValueError(f"scrape step '{step.name}' needs input_from")
+        source = json_path(
+            {"steps": context["steps"]}, "steps." + step.input_from
+        )
+        urls = source if isinstance(source, list) else [source]
+        selectors = step.selectors or {}
+
+        def scrape(t: pa.Table) -> pa.Table:
+            items, oks, errs = [], [], []
+            for url, html_body, status in zip(
+                t["url"].to_pylist(), t["html"].to_pylist(), t["status"].to_pylist()
+            ):
+                if status != 200 or not html_body:
+                    errs.append(f"HTTP {status}: {url}")
+                    continue
+                fields = extract_fields(html_body, selectors) if selectors else {}
+                items.append({"_url": url, **{k: v for k, v in fields.items()}})
+                oks.append(url)
+            import json as _json
+
+            return pa.table(
+                {
+                    "item": pa.array([_json.dumps(i, ensure_ascii=False) for i in items]),
+                    "error": pa.array([None] * len(items), type=pa.string()),
+                }
+            ) if not errs else pa.table(
+                {
+                    "item": pa.array(
+                        [_json.dumps(i, ensure_ascii=False) for i in items]
+                        + [None] * len(errs),
+                        type=pa.string(),
+                    ),
+                    "error": pa.array([None] * len(items) + errs, type=pa.string()),
+                }
+            )
+
+        import json as _json
+
+        out_rows = self._fetch_ds(urls).map_batches(scrape, batch_format="pyarrow").take_all()
+        items = [_json.loads(r["item"]) for r in out_rows if r["item"] is not None]
+        errors = [r["error"] for r in out_rows if r["error"] is not None]
+        return {
+            "items": items,
+            "success_count": len(items),
+            "error_count": len(errors),
+            "errors": errors[:5],  # reference truncation (scrape_executor.py:209-211)
+        }
+
+    # ------------------------------------------------------------ run
+    def run(self, steps: list[Step | dict], seed_url: str | None = None,
+            variables: dict | None = None) -> dict:
+        steps = [s if isinstance(s, Step) else Step.from_dict(s) for s in steps]
+        ordered = validate_workflow(steps)
+        context: dict = {"variables": dict(variables or {}), "steps": {},
+                         "execution_order": [], "metadata": {}}
+        for step in ordered:
+            cfg = {"skip_if": step.skip_if or None, "run_only_if": step.run_only_if or None}
+            cfg = {k: v for k, v in cfg.items() if v}
+            if not should_run(cfg, context):
+                context["metadata"][step.name] = {"skipped": True}
+                continue
+            resolved = Step(
+                name=step.name, type=step.type, method=step.method,
+                config=resolve(step.config, context),
+                selectors=resolve(step.selectors, context),
+                input_from=step.input_from,
+            )
+            t0 = time.monotonic()
+            if step.type == "crawl":
+                output = self._run_crawl(resolved, context, seed_url)
+            elif step.type == "scrape":
+                output = self._run_scrape(resolved, context)
+            else:
+                raise ValueError(f"unsupported step type {step.type!r}")
+            context["steps"][step.name] = output
+            context["execution_order"].append(step.name)
+            context["metadata"][step.name] = {
+                "skipped": False, "wall_sec": round(time.monotonic() - t0, 3),
+            }
+        return context

@@ -1,0 +1,114 @@
+"""Workflow orchestration over the mini-web: validation, crawl->scrape data
+passing, conditions, ordering quirks (reference integration suite analogue:
+tests/integration/test_step_orchestrator.py)."""
+
+import pytest
+
+from crawler_ray.pipelines.workflow import Step, WorkflowRunner, validate_workflow
+from crawler_ray.sources.miniweb import MiniWeb
+
+WEB = MiniWeb(n_docs=30, n_hosts=2)
+SEED = "https://putusan.example.id/list?page=1"
+
+
+class TestValidation:
+    def test_topo_order(self):
+        steps = [
+            Step("c", "scrape", input_from="b.items"),
+            Step("a", "crawl"),
+            Step("b", "scrape", input_from="a.urls"),
+        ]
+        assert [s.name for s in validate_workflow(steps)] == ["a", "b", "c"]
+
+    def test_duplicate_names(self):
+        with pytest.raises(ValueError, match="duplicate"):
+            validate_workflow([Step("a", "crawl"), Step("a", "crawl")])
+
+    def test_missing_dep(self):
+        with pytest.raises(ValueError, match="unknown"):
+            validate_workflow([Step("a", "scrape", input_from="nope.items")])
+
+    def test_cycle(self):
+        with pytest.raises(ValueError, match="cycle"):
+            validate_workflow(
+                [Step("a", "crawl", depends_on=["b"]), Step("b", "crawl", depends_on=["a"])]
+            )
+
+
+@pytest.fixture(scope="module")
+def crawl_scrape_result(ray_session):
+    runner = WorkflowRunner(WEB)
+    return runner.run(
+        [
+            {
+                "name": "daftar",
+                "type": "crawl",
+                "config": {
+                    "seed_url": SEED,
+                    "pagination": {"enabled": True, "max_pages": 3},
+                },
+                "selectors": {"urls": {"selector": "a::attr(href)", "multiple": True}},
+            },
+            {
+                "name": "detail",
+                "type": "scrape",
+                "input_from": "daftar.urls",
+                "selectors": {
+                    "title": "title",
+                    "paragraphs": {"selector": "article p", "multiple": True},
+                },
+            },
+        ],
+    )
+
+
+def test_crawl_step_outputs(crawl_scrape_result):
+    out = crawl_scrape_result["steps"]["daftar"]
+    assert out["_crawl_metadata"]["pages_crawled"] == 3
+    urls = out["urls"]
+    assert len(urls) == len(set(urls))  # first-wins distinct
+    assert any("/doc/" in u for u in urls)
+    # order-preserving: a url discovered on page 1 precedes page-2-only urls
+    assert urls == sorted(urls, key=lambda u: urls.index(u))
+
+
+def test_scrape_step_items(crawl_scrape_result):
+    out = crawl_scrape_result["steps"]["detail"]
+    assert out["success_count"] > 0
+    assert len(out["errors"]) <= 5
+    item = next(i for i in out["items"] if "/doc/" in i["_url"])
+    assert item["title"].startswith("Dokumen")
+    assert len(item["paragraphs"]) >= 1
+
+
+def test_execution_order(crawl_scrape_result):
+    assert crawl_scrape_result["execution_order"] == ["daftar", "detail"]
+
+
+def test_conditions_and_variables(ray_session):
+    runner = WorkflowRunner(WEB)
+    ctx = runner.run(
+        [
+            {
+                "name": "crawl1",
+                "type": "crawl",
+                "config": {"seed_url": "https://{{host}}/list?page=1"},
+            },
+            {
+                "name": "never",
+                "type": "scrape",
+                "input_from": "crawl1.urls",
+                "skip_if": "{{crawl1._crawl_metadata.total_urls}} exists",
+            },
+            {
+                "name": "always",
+                "type": "scrape",
+                "input_from": "crawl1.urls",
+                "run_only_if": "{{crawl1._crawl_metadata.pages_crawled}} == '1'",
+            },
+        ],
+        variables={"host": "host1.example.id"},
+    )
+    assert ctx["metadata"]["never"]["skipped"] is True
+    assert ctx["metadata"]["always"]["skipped"] is False
+    assert "always" in ctx["steps"]
