@@ -87,7 +87,7 @@ def run_bench() -> dict:
     ).materialize()
 
     # ---- headline: flagship crawl sized from the sf documents table -------
-    # Heavier pages (~10 KB, legal-document scale) + a deterministic 20 ms
+    # Heavier pages (~10 KB, legal-document scale) + a deterministic 200 ms
     # simulated network RTT per request make the workload fetch/parse-bound,
     # as a real crawl is — the scaling criterion measures how that capacity
     # grows with CPUs, not the round-orchestration floor.
@@ -100,7 +100,7 @@ def run_bench() -> dict:
         seen_shards=max(2, NUM_CPUS // 8),
         seen_backend="cuckoo",
         fetch_batch_size=32,
-        net_latency_sec=0.12,
+        net_latency_sec=0.2,
     )
     t0 = time.monotonic()
     result = engine.run()

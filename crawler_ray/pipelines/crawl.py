@@ -135,6 +135,12 @@ class CrawlEngine:
         self.net_latency_sec = net_latency_sec
         self.frontier_blocks = frontier_blocks
         self.debug_timing = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
+        try:
+            import ray
+
+            self._ncpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            self._ncpus = 8
         self.seen = ShardedSeen(seen_shards, seen_backend)
 
     def _t(self, label: str, t0: float) -> float:
@@ -263,18 +269,33 @@ class CrawlEngine:
                 batch_format="pyarrow",
             )
 
-            # split the selected set so the fetch pool actually parallelizes
-            # (from_arrow yields ONE block == one task otherwise)
-            n_fetch_blocks = max(1, min(128, len(sel_rows) // self.fetch_batch_size))
-            fetch_stage = rd.from_arrow(selected_tbl).repartition(n_fetch_blocks)
+            # split the selected set so the fetch pool actually parallelizes:
+            # pre-slice the Arrow table driver-side (from_arrow of a list =
+            # one block per slice) instead of a repartition op — repartition
+            # is an all-to-all with ~1-2 s fixed cost per round.  Block count
+            # targets ~4 blocks per CPU (small rounds still spread their
+            # fetch latency) with >= 4 rows per block.
+            n_fetch_blocks = max(
+                1, min(4 * self._ncpus, -(-len(sel_rows) // 4))
+            )
+            per = -(-len(selected_tbl) // n_fetch_blocks)
+            slices = [
+                selected_tbl.slice(i * per, per)
+                for i in range(n_fetch_blocks)
+                if i * per < len(selected_tbl)
+            ]
+            fetch_stage = rd.from_arrow(slices)
             if self.requests_per_second is not None:
                 # politeness pacing needs per-host wall-clock state -> actor pool
+                # batch_size=None: one task per pre-sliced block (a numeric
+                # batch_size makes Ray BUNDLE small blocks into one task,
+                # serializing the simulated network latency)
                 fetched = fetch_stage.map_batches(
                     SyntheticFetcher,
                     fn_constructor_args=(self.web, self.requests_per_second, 10,
                                          self.net_latency_sec),
                     batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
+                    batch_size=None,
                     concurrency=self.fetch_concurrency,
                     num_cpus=1,
                 )
@@ -285,7 +306,7 @@ class CrawlEngine:
                 fetched = fetch_stage.map_batches(
                     lambda t, web=web, lat=lat: SyntheticFetcher(web, net_latency_sec=lat)(t),
                     batch_format="pyarrow",
-                    batch_size=self.fetch_batch_size,
+                    batch_size=None,
                 )
             parsed = fetched.map_batches(
                 parse_fetched_batch, batch_format="pyarrow"
@@ -433,9 +454,45 @@ class CrawlEngine:
         return os.path.join(self.checkpoint_dir, f"round={r:04d}")
 
     def _write_frontier_snapshot(self, r: int, frontier_ds: "rd.Dataset") -> None:
+        """Host-hash partitioned frontier snapshot with mega-host salting.
+
+        Partition id = ``bucket_of(host)``, except hosts holding more than
+        2x the per-host average frontier backlog ("mega-hosts", north rule:
+        putusan3.mahkamahagung.go.id-style skew) are salted into
+        ``ceil(count/avg)`` sub-buckets by url_hash so no single partition
+        file dominates; politeness is unaffected (selection keys on the
+        host value, not the partition)."""
+        # tiny per-host histogram (one row per host per block)
+        def _host_histogram(t: pa.Table) -> pa.Table:
+            agg = t.group_by("host").aggregate([("host", "count")])
+            return agg.rename_columns(["host", "n"])
+
+        counts: dict[str, int] = {}
+        for row in frontier_ds.map_batches(
+            _host_histogram, batch_format="pyarrow"
+        ).take_all():
+            counts[row["host"]] = counts.get(row["host"], 0) + row["n"]
+        avg = max(1, sum(counts.values()) // max(1, len(counts)))
+        salt_k = {
+            h: -(-n // avg) for h, n in counts.items() if n > 2 * avg
+        }
+        n_buckets = max(self.frontier_blocks, 8)
+
+        def _bucketize(t: pa.Table) -> pa.Table:
+            hosts = t["host"].to_pylist()
+            hashes = t["url_hash"].to_pylist()
+            b = [
+                bucket_of(h, n_buckets,
+                          salt=(int(uh[:4], 16) % salt_k[h]) if h in salt_k else 0)
+                for h, uh in zip(hosts, hashes)
+            ]
+            return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
         d = os.path.join(self._round_dir(r), "frontier")
         os.makedirs(d, exist_ok=True)
-        frontier_ds.write_parquet(d)
+        frontier_ds.map_batches(_bucketize, batch_format="pyarrow").write_parquet(
+            d, partition_cols=["bucket"]
+        )
 
     def _write_round_outputs(self, r, pages_round, sel_rows, seen_delta, metric) -> None:
         d = self._round_dir(r)

@@ -1068,6 +1068,69 @@ def q_crawl_documents(sf_dir: str):
     return marked.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_workflow_scrape(sf_dir: str):
+    """Declarative crawl->scrape workflow over the mini-web (rows-only:
+    orchestration semantics are covered by tests/test_workflow.py)."""
+    from crawler_ray.pipelines.workflow import WorkflowRunner
+    from crawler_ray.sources.miniweb import miniweb_for_sf
+
+    web = miniweb_for_sf(sf_dir)
+    if web.n_docs > 100:
+        web = type(web)(n_docs=100)
+    ctx = WorkflowRunner(web).run(
+        [
+            {
+                "name": "daftar", "type": "crawl",
+                "config": {
+                    "seed_url": web.seeds()[0],
+                    "pagination": {"enabled": True, "max_pages": 5},
+                },
+            },
+            {
+                "name": "detail", "type": "scrape", "input_from": "daftar.urls",
+                "selectors": {
+                    "title": "title",
+                    "paragraphs": {"selector": "article p", "multiple": True},
+                },
+            },
+        ]
+    )
+    items = ctx["steps"]["detail"]["items"]
+    return pa.table(
+        {
+            "url": pa.array([i["_url"] for i in items], type=pa.string()),
+            "title": pa.array([i.get("title") for i in items], type=pa.string()),
+            "n_paragraphs": pa.array(
+                [len(i.get("paragraphs") or []) for i in items], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_media_decode(sf_dir: str):
+    """Crawl -> media spans -> actor-pool decode (rows-only: multimodal
+    plumbing; deterministic synth codec)."""
+    import ray.data as _rd
+
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.stages.media import MediaDecodeStage, media_rows_from_spans
+
+    web = miniweb_for_sf(sf_dir)
+    if web.n_docs > 100:
+        web = type(web)(n_docs=100)
+    res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
+    return (
+        res.pages.map_batches(media_rows_from_spans, batch_format="pyarrow")
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"codec": "synth"},
+            batch_size=32, concurrency=2, num_cpus=1, batch_format="pyarrow",
+        )
+        .select_columns(["media_ref", "kind", "n_bytes", "thumb_h", "thumb_w"])
+    )
+
+
 # ============================================================ registry
 QUERIES = {
     "pricing_summary": q_pricing_summary,
@@ -1096,6 +1159,8 @@ QUERIES = {
     "emb_label_stats": q_emb_label_stats,
     "url_normalize": q_url_normalize,
     "crawl_documents": q_crawl_documents,
+    "workflow_scrape": q_workflow_scrape,
+    "media_decode": q_media_decode,
 }
 
 

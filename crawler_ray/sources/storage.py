@@ -1,0 +1,77 @@
+"""Table storage layer: Lance when available, parquet otherwise.
+
+The north rule targets Lance tables for the interleaved documents (list-of-
+struct span columns, blob-friendly).  The ``lance``/``pylance`` package is
+not installed in this sandbox, so every writer/reader goes through this
+module: if ``import lance`` succeeds the dataset is written as a Lance
+dataset (merge-insert friendly, columnar blobs); otherwise it falls back to
+partitioned parquet with identical schemas and directory layout semantics.
+Nothing else in the engine knows which format is underneath.
+
+Resumable layout contract (both backends): one directory per logical table
+version (``<root>/<table>/<partition>=<value>/``); writers write a temp dir
+and rename, so a partially-written partition is never visible; a partition
+directory's existence means it is complete.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+try:  # pragma: no cover - lance is absent in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def backend() -> str:
+    return "lance" if HAVE_LANCE else "parquet"
+
+
+def write_table(table: pa.Table, path: str) -> str:
+    """Atomically write one Arrow table as a dataset directory."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        if HAVE_LANCE:
+            lance.write_dataset(table, tmp, mode="overwrite")
+        else:
+            pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def read_table(path: str) -> pa.Table:
+    if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
+        return lance.dataset(path).to_table()
+    return pq.read_table(path)
+
+
+def write_dataset(ds, path: str) -> str:
+    """Write a ray.data.Dataset as a dataset directory (streaming)."""
+    if HAVE_LANCE and hasattr(ds, "write_lance"):
+        ds.write_lance(path)
+    else:
+        ds.write_parquet(path)
+    return path
+
+
+def read_dataset(path: str):
+    import ray.data as rd
+
+    if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
+        return rd.read_lance(path)
+    return rd.read_parquet(path)
