@@ -204,6 +204,19 @@ class _MainContentFinder(HTMLParser):
             self.capture.append(data)
 
 
+def normalize_spans_text(spans: list[dict]) -> str:
+    """Stable hash text derived from already-parsed spans: title+text spans
+    (boilerplate/ad subtrees were skipped during span collection), timestamp
+    scrub, whitespace collapse, lowercase.  The engine's hot path — one
+    parse per page instead of three (parse_spans + main-content re-parse);
+    the golden interpreter uses the same function, so conformance is exact.
+    """
+    text = " ".join(s["text"] for s in spans if s["kind"] in ("title", "text"))
+    for rx in TIMESTAMP_RES:
+        text = rx.sub("", text)
+    return _WS.sub(" ", text).strip().lower()
+
+
 def normalize_for_hash(html: str) -> str:
     """Stable text for duplicate hashing (reference normalize_for_hash).
 

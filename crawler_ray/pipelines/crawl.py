@@ -276,7 +276,7 @@ class CrawlEngine:
             # targets ~4 blocks per CPU (small rounds still spread their
             # fetch latency) with >= 4 rows per block.
             n_fetch_blocks = max(
-                1, min(4 * self._ncpus, -(-len(sel_rows) // 4))
+                1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
             )
             per = -(-len(selected_tbl) // n_fetch_blocks)
             slices = [

@@ -152,7 +152,7 @@ def golden_crawl(
             status, html_body = web.fetch(f.url, retry_count=f.retry_count)
             if status == 200:
                 spans = H.parse_spans(html_body)
-                normalized = H.normalize_for_hash(html_body)
+                normalized = H.normalize_spans_text(spans)
                 res.pages.append(
                     {
                         "round": r, "url": f.url, "url_hash": f.url_hash,

@@ -313,6 +313,103 @@ FROM events GROUP BY 1, 2
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_user_sessions(sf_dir: str):
+    """Session windows per user (30-min inactivity gap) — the streaming
+    sessionization shape (SURVEY.md §2.9 guidance: partition by key, order
+    by ts within partition, windows inside the group).  Users are
+    hash-bucketed so each Ray group is a vectorized pandas pass over many
+    users, not one Python call per user."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    N_BUCKETS = 32
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(t["user_id"], N_BUCKETS - 1)
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    def sessions(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = new_user | (df["ts"] - df["ts"].shift() > gap)
+        df = df.assign(session_idx=brk.groupby(df["user_id"]).cumsum().astype("int64"))
+        g = (
+            df.groupby(["user_id", "session_idx"], sort=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("event_id", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+        g["total_value"] = duck_round(g["total_value"], 2)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_USER_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+TOPK_PER_GROUP = 3
+
+
+def q_top_events_per_type(sf_dir: str):
+    """Per-group top-k (window-function shape): top 3 events by value per
+    event_type; partial top-k per batch, tiny final per-group pass."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["event_type", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("event_type", sort=False).head(TOPK_PER_GROUP)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                            kind="mergesort").head(TOPK_PER_GROUP)
+        df = df.assign(value=duck_round(df["value"], 6))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_TOP_EVENTS_PER_TYPE = f"""
+SELECT event_type, event_id, ROUND(value, 6) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= {TOPK_PER_GROUP}
+"""
+
+
 def q_due_events(sf_dir: str):
     """filter + sort + limit (reference O2 due-scheduled-jobs,
     /root/reference/sql/queries/scheduled_job.sql:40-45)."""
@@ -1068,6 +1165,45 @@ def q_crawl_documents(sf_dir: str):
     return marked.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_event_user_hll(sf_dir: str):
+    """Approximate distinct users per event_type via mergeable HLL sketches:
+    one serialized sketch per batch per key, merged in a tiny final pass —
+    the scale pattern for distinct counts (rows-only: approximate; accuracy
+    asserted in tests/test_sketch.py against the exact counts)."""
+    from crawler_ray.functions.sketch import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        types, blobs = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = HyperLogLog(p=12)
+            sk.add_strings(g["user_id"].tolist())
+            types.append(et)
+            blobs.append(sk.to_bytes())
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "sketch": pa.array(blobs, type=pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        sk = HyperLogLog.from_bytes(df["sketch"].iloc[0])
+        for blob in df["sketch"].iloc[1:]:
+            sk.merge(HyperLogLog.from_bytes(blob))
+        return pa.table(
+            {
+                "event_type": pa.array([df["event_type"].iloc[0]], type=pa.string()),
+                "approx_distinct_users": pa.array(
+                    [int(round(sk.estimate()))], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def q_workflow_scrape(sf_dir: str):
     """Declarative crawl->scrape workflow over the mini-web (rows-only:
     orchestration semantics are covered by tests/test_workflow.py)."""
@@ -1140,6 +1276,8 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "events_by_type": q_events_by_type,
     "events_hourly_window": q_events_hourly_window,
+    "user_sessions": q_user_sessions,
+    "top_events_per_type": q_top_events_per_type,
     "due_events": q_due_events,
     "events_page": q_events_page,
     "priority_scores": q_priority_scores,
@@ -1161,6 +1299,7 @@ QUERIES = {
     "crawl_documents": q_crawl_documents,
     "workflow_scrape": q_workflow_scrape,
     "media_decode": q_media_decode,
+    "event_user_hll": q_event_user_hll,
 }
 
 
@@ -1173,6 +1312,8 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": SQL_PART_BRAND,
         "events_by_type": SQL_EVENTS_BY_TYPE,
         "events_hourly_window": SQL_EVENTS_WINDOW,
+        "user_sessions": SQL_USER_SESSIONS,
+        "top_events_per_type": SQL_TOP_EVENTS_PER_TYPE,
         "due_events": SQL_DUE_EVENTS,
         "events_page": SQL_EVENTS_PAGE,
         "priority_scores": SQL_PRIORITY_SCORES,

@@ -56,7 +56,7 @@ def parse_fetched_batch(batch: pa.Table) -> pa.Table:
             [{"url": u, "dom_idx": i} for i, (u, _) in enumerate(H.extract_links(spans, url))]
         )
         titles.append(H.page_title(spans))
-        norm_texts.append(H.normalize_for_hash(html_body))
+        norm_texts.append(H.normalize_spans_text(spans))
 
     fps, _ = simhash_batch(norm_texts)
     content_hashes = [
