@@ -105,7 +105,14 @@ class MiniWeb:
         words = []
         for i in range(self.words_per_doc):
             rng = (rng * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            words.append(self.vocab[rng % len(self.vocab)])
+            w = self.vocab[rng % len(self.vocab)]
+            # ~1 in 4 tokens carries a numeral (case numbers, articles,
+            # years) so long documents have realistic token diversity —
+            # with a bare 30-word vocab every long doc converges to the
+            # same simhash (bias >> variance) and near-dup joins degenerate
+            if rng % 4 == 0:
+                w = f"{w}{(rng >> 8) % 1000}"
+            words.append(w)
         return words
 
     def doc_body_paragraphs(self, host: str, n: int) -> list[str]:

@@ -161,6 +161,52 @@ def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
         batch_format="pyarrow",
     )
 
+    # ---- exact-fingerprint fast path -----------------------------------
+    # Pages sharing a full 64-bit fingerprint are at Hamming distance 0, so
+    # the reference's best-match rule (min distance, then earliest) makes
+    # every later member a duplicate of the group's earliest page — no
+    # banding needed, and the LSH stage then runs over DISTINCT fingerprints
+    # only.  This collapses pathological clusters (K same-fp pages would
+    # otherwise produce K^2 band candidates) with identical semantics.
+    def _fp_group_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["simhash", "rank_key"], kind="mergesort")
+        first_hash = df.groupby("simhash", sort=False)["url_hash"].transform("first")
+        first_rank = df.groupby("simhash", sort=False)["rank_key"].transform("first")
+        is_member = df["url_hash"].to_numpy() != first_hash.to_numpy()
+        return pa.table(
+            {
+                "url_hash": pa.array(df["url_hash"].tolist(), type=pa.string()),
+                "simhash": pa.array(df["simhash"].tolist(), type=pa.int64()),
+                "rank_key": pa.array(df["rank_key"].tolist(), type=pa.string()),
+                "rep_hash": pa.array(first_hash.tolist(), type=pa.string()),
+                "rep_rank": pa.array(first_rank.tolist(), type=pa.string()),
+                "is_member": pa.array(is_member),
+            }
+        )
+
+    def _fp_bucketize(t: pa.Table) -> pa.Table:
+        b = [int(v) % N_DEDUP_BUCKETS for v in
+             from_signed(np.asarray(t["simhash"].to_pylist(), dtype=np.int64))]
+        return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    fp_grouped = (
+        canon.map_batches(_fp_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_fp_group_bucket, batch_format="pandas")
+        .materialize()
+    )
+    samefp_marks = {
+        r["url_hash"]: (r["rep_hash"], 100)
+        for r in fp_grouped.take_all()
+        if r["is_member"]
+    }
+    canon = fp_grouped.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["is_member"])).select(
+            ["url_hash", "simhash", "rank_key"]
+        ),
+        batch_format="pyarrow",
+    )
+
     def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
         import hashlib as _hl
 
@@ -202,7 +248,7 @@ def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
         r["url_hash"]: (r["dup_of"], r["similarity"]) for r in fuzzy_best.take_all()
     }
 
-    marks = {**fuzzy_marks, **exact_marks}  # exact wins if both
+    marks = {**fuzzy_marks, **samefp_marks, **exact_marks}  # exact wins if both
     marks_ref = ray.put(marks)
 
     def _stamp(t: pa.Table) -> pa.Table:
