@@ -1,0 +1,124 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Reference analogue: ``POST /api/v1/jobs`` with an inline_config workflow or
+a website template (SURVEY.md §3.2); here a job is a JSON config file:
+
+    python -m crawler_ray.run --config job.json [--output /tmp/out]
+
+Config shapes:
+
+1. flagship frontier crawl::
+
+    {"kind": "crawl", "n_docs": 500, "budget_per_host": 64,
+     "max_rounds": 64, "seen_backend": "cuckoo",
+     "checkpoint_dir": "/tmp/ckpt", "resume": false}
+
+2. declarative workflow (the reference's step API)::
+
+    {"kind": "workflow", "n_docs": 100, "seed_url": null,
+     "variables": {...},
+     "steps": [{"name": ..., "type": "crawl"|"scrape", ...}]}
+
+Outputs land under ``--output`` as parquet (documents / items) plus a
+``result.json`` summary.  Owns its Ray session (guarded init) — the only
+module besides bench.py and the test fixture that does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="crawler_ray.run")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--output", default="/tmp/crawler_ray_out")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    os.makedirs(args.output, exist_ok=True)
+    summary: dict = {"kind": cfg.get("kind", "crawl")}
+
+    from crawler_ray.sources.miniweb import MiniWeb
+
+    web = MiniWeb(
+        n_docs=int(cfg.get("n_docs", 500)),
+        n_hosts=int(cfg.get("n_hosts", 4)),
+        words_per_doc=int(cfg.get("words_per_doc", 60)),
+    )
+
+    if cfg.get("kind", "crawl") == "crawl":
+        from crawler_ray.pipelines.crawl import CrawlEngine
+        from crawler_ray.stages.dedupe import mark_duplicates
+
+        kwargs = dict(
+            budget_per_host=int(cfg.get("budget_per_host", 64)),
+            max_rounds=int(cfg.get("max_rounds", 64)),
+            seen_shards=int(cfg.get("seen_shards", 4)),
+            seen_backend=cfg.get("seen_backend", "exact"),
+            checkpoint_dir=cfg.get("checkpoint_dir"),
+            requests_per_second=cfg.get("requests_per_second"),
+        )
+        if cfg.get("resume") and cfg.get("checkpoint_dir"):
+            result = CrawlEngine.resume(web, cfg["checkpoint_dir"], **{
+                k: v for k, v in kwargs.items() if k != "checkpoint_dir"
+            })
+        else:
+            result = CrawlEngine(web, **kwargs).run()
+        marked = mark_duplicates(result.pages)
+        marked.write_parquet(os.path.join(args.output, "documents"))
+        summary.update(
+            pages=len(result.order),
+            urls_seen=len(result.seen),
+            rounds=len(result.metrics),
+            dead_letters=len(result.dlq_rows),
+            metrics=result.metrics,
+        )
+    elif cfg["kind"] == "workflow":
+        from crawler_ray.pipelines.workflow import WorkflowRunner
+
+        ctx = WorkflowRunner(web).run(
+            cfg["steps"], seed_url=cfg.get("seed_url"),
+            variables=cfg.get("variables"),
+        )
+        with open(os.path.join(args.output, "context.json"), "w") as f:
+            json.dump(
+                {"steps": ctx["steps"], "execution_order": ctx["execution_order"],
+                 "metadata": ctx["metadata"]}, f, ensure_ascii=False, default=str,
+            )
+        summary.update(execution_order=ctx["execution_order"])
+    else:
+        raise SystemExit(f"unknown config kind: {cfg['kind']!r}")
+
+    with open(os.path.join(args.output, "result.json"), "w") as f:
+        json.dump(summary, f, default=str)
+    print(json.dumps({k: v for k, v in summary.items() if k != "metrics"}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

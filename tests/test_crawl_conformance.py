@@ -84,6 +84,23 @@ def test_duplicate_marking_exact_and_fuzzy(golden, ray_crawl):
     assert n_dups > 0  # the mini-web must exercise both dup paths
 
 
+def test_rate_limited_actor_pool_mode(golden, ray_session):
+    """requests_per_second engages the actor-pool fetch path with per-host
+    token buckets (reference local_rate_limiter semantics); results must be
+    identical to the task path — pacing affects wall clock only."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    small = MiniWeb(n_docs=12, n_hosts=2)
+    g = golden_crawl(small, budget_per_host=4, max_rounds=20)
+    engine = CrawlEngine(
+        small, budget_per_host=4, max_rounds=20, seen_shards=2,
+        requests_per_second=50.0, fetch_concurrency=2,
+    )
+    res = engine.run()
+    assert [(r, h) for r, h, _ in g.order] == [(r, h) for r, h, _ in res.order]
+    assert g.seen == res.seen
+
+
 def test_retries_recorded(golden, ray_crawl):
     # flaky pages appear twice in the order (initial 500 + retry success)
     from collections import Counter
