@@ -37,7 +37,7 @@ def entry() -> Any:
     web = miniweb_for_sf("/root/testdata/sf0.001")
     if web.n_docs > 300:
         web = type(web)(n_docs=300)
-    engine = CrawlEngine(web, budget_per_host=8, max_rounds=48, seen_shards=2)
+    engine = CrawlEngine(web, budget_per_host=32, max_rounds=48, seen_shards=2)
     result = engine.run()
     marked = mark_duplicates(result.pages)
 

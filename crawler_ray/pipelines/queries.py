@@ -1004,6 +1004,14 @@ def q_knn_ann_lsh(sf_dir: str):
     return ann_query(sf_dir, n_queries=KNN_QUERIES, k=KNN_K)
 
 
+def q_knn_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer approximate kNN (rows-only; recall asserted in
+    tests/test_ann_media.py) — the FAISS-IVF-shaped scale path."""
+    from crawler_ray.stages.ann import ivf_query
+
+    return ivf_query(sf_dir, n_queries=KNN_QUERIES, k=KNN_K)
+
+
 EMB_PAIR_LIMIT = 200
 EMB_PAIR_THRESHOLD = 0.35
 
@@ -1143,7 +1151,7 @@ def q_crawl_documents(sf_dir: str):
     web = miniweb_for_sf(sf_dir)
     if web.n_docs > 300:
         web = type(web)(n_docs=300)  # bound correctness-check runtime
-    engine = CrawlEngine(web, budget_per_host=8, max_rounds=48, seen_shards=2)
+    engine = CrawlEngine(web, budget_per_host=32, max_rounds=48, seen_shards=2)
     result = engine.run()
     marked = mark_duplicates(result.pages)
 
@@ -1293,6 +1301,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ann_lsh": q_knn_ann_lsh,
+    "knn_ann_ivf": q_knn_ann_ivf,
     "emb_similar_pairs": q_emb_similar_pairs,
     "emb_label_stats": q_emb_label_stats,
     "url_normalize": q_url_normalize,

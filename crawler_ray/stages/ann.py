@@ -126,6 +126,105 @@ def ann_topk(
     )
 
 
+def _kmeans(X: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic numpy k-means on a (sample) matrix -> centroids."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(0)
+    return C
+
+
+def ivf_topk(
+    ds: "rd.Dataset",
+    query_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: np.ndarray | None = None,
+    id_col: str = "vec_id",
+) -> "rd.Dataset":
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> per-vector list
+    assignment (stateless map) -> queries probe their ``n_probe`` nearest
+    lists -> exact scoring of candidates only.  The classic scale path
+    (FAISS IVF-Flat shape): work per query is O(N * n_probe / n_lists).
+
+    Centroids train on a driver-side sample (deterministic, seeded) and are
+    broadcast — at 100 TB scale the sample is a `ds.random_sample` pass and
+    assignment stays a streaming map.
+    """
+    sample = train_sample if train_sample is not None else Q
+    C = _kmeans(sample.astype(np.float64), n_lists)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]     # [n_q, n_probe]
+    probed_by_list: dict[int, list[int]] = {}
+    for qi in range(len(query_ids)):
+        for lst in probes[qi]:
+            probed_by_list.setdefault(int(lst), []).append(qi)
+    ref = ray.put((Cn, probed_by_list, query_ids, Qn))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        Cn_, probed, q_ids, Qn_ = ray.get(ref)
+        X = _matrix(t)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = np.asarray(t[id_col].to_pylist())
+        assign = (Xn @ Cn_.T).argmax(1)
+        out_q, out_n, out_c = [], [], []
+        for row, lst in enumerate(assign):
+            for qi in probed.get(int(lst), ()):
+                if ids[row] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(ids[row])
+                out_c.append(float(Xn[row] @ Qn_[qi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cosine_raw": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["cosine_raw", "neighbor_id"],
+                            ascending=[False, True], kind="mergesort").head(k)
+        return pa.table(
+            {
+                "query_id": pa.array(df["query_id"].tolist(), type=pa.int64()),
+                "neighbor_id": pa.array(df["neighbor_id"].tolist(), type=pa.int64()),
+                "cosine": pa.array(np.round(df["cosine_raw"].to_numpy(), 6)),
+            }
+        )
+
+    return (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def ivf_query(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """queries()-style IVF entry (rows-only; recall vs brute force in
+    tests/test_ann_media.py)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    train = _matrix(full.filter(pc.less(full["vec_id"], 256)))
+    qt = full.filter(pc.less(full["vec_id"], n_queries))
+    q_ids = np.asarray(qt["vec_id"].to_pylist())
+    Q = _matrix(qt)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q_ids, Q, k=k, train_sample=train)
+
+
 def ann_query(sf_dir: str, n_queries: int = 10, k: int = 5):
     """queries()-style entry: ANN top-k for the first ``n_queries`` vectors
     of the embeddings table (rows-only: approximate by design; recall vs the

@@ -22,6 +22,20 @@ def test_ann_recall_vs_bruteforce(ray_session, sf_dir):
     assert float(np.mean(recalls)) >= 0.6, recalls
 
 
+def test_ivf_recall_vs_bruteforce(ray_session, sf_dir):
+    from crawler_ray.pipelines.queries import q_knn_bruteforce
+    from crawler_ray.stages.ann import ivf_query
+
+    exact = {}
+    for r in q_knn_bruteforce(sf_dir).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_query(sf_dir).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert float(np.mean(recalls)) >= 0.5, recalls
+
+
 def test_ann_deterministic(ray_session, sf_dir):
     from crawler_ray.stages.ann import ann_query
 

@@ -84,6 +84,28 @@ def test_duplicate_marking_exact_and_fuzzy(golden, ray_crawl):
     assert n_dups > 0  # the mini-web must exercise both dup paths
 
 
+@pytest.mark.parametrize(
+    "web,budget",
+    [
+        # skewed: 4 hosts, mega-host with 70% of docs, tight budget
+        (MiniWeb(n_docs=64, n_hosts=4, mega_share=0.7, dead_link_every=2,
+                 flaky_every=9), 2),
+        # dup-heavy: aggressive dup/near-dup chains, generous budget
+        (MiniWeb(n_docs=40, n_hosts=2, dup_every=5, near_dup_every=7), 16),
+    ],
+    ids=["skewed-tight", "dup-heavy-wide"],
+)
+def test_conformance_other_configs(ray_session, web, budget):
+    """Order + seen-set equality must hold across web shapes and budgets,
+    not just the module fixture's configuration."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    g = golden_crawl(web, budget_per_host=budget, max_rounds=60)
+    res = CrawlEngine(web, budget_per_host=budget, max_rounds=60, seen_shards=3).run()
+    assert [(r, h) for r, h, _ in g.order] == [(r, h) for r, h, _ in res.order]
+    assert g.seen == res.seen
+
+
 def test_rate_limited_actor_pool_mode(golden, ray_session):
     """requests_per_second engages the actor-pool fetch path with per-host
     token buckets (reference local_rate_limiter semantics); results must be

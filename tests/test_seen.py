@@ -1,0 +1,100 @@
+"""URL-seen state: cuckoo filter guarantees, shard offer/resolve
+determinism, routing stability."""
+
+import hashlib
+import random
+
+import numpy as np
+
+from crawler_ray.state.seen import CuckooFilter, SeenShard, shard_of
+
+
+def _hashes(n, salt=""):
+    return [hashlib.sha256(f"{salt}{i}".encode()).hexdigest() for i in range(n)]
+
+
+class TestCuckoo:
+    def test_no_false_negatives(self):
+        ck = CuckooFilter(capacity=1 << 14)
+        rng = random.Random(1)
+        vals = [rng.getrandbits(63) for _ in range(5000)]
+        for v in vals:
+            assert ck.add(v)
+        assert all(ck.contains(v) for v in vals)
+
+    def test_false_positive_rate(self):
+        ck = CuckooFilter(capacity=1 << 14)
+        rng = random.Random(2)
+        for _ in range(5000):
+            ck.add(rng.getrandbits(63))
+        rng3 = random.Random(3)
+        probe = [rng3.getrandbits(63) for _ in range(20000)]
+        fp = sum(ck.contains(v) for v in probe)
+        # 16-bit fingerprints, 4-slot buckets: expected FP ~ 8/2^16 ~ 1.2e-4
+        assert fp / len(probe) < 1e-3, fp
+
+    def test_count(self):
+        ck = CuckooFilter(capacity=1 << 12)
+        for i in range(100):
+            ck.add(i * 7919 + 13)
+        assert ck.count == 100
+
+
+class TestSeenShard:
+    def test_exact_first_wins(self):
+        s = SeenShard("exact")
+        m1 = s.seen_and_add(["a", "b", "a"])
+        assert m1.tolist() == [True, True, False]
+        m2 = s.seen_and_add(["b", "c"])
+        assert m2.tolist() == [False, True]
+        assert s.size() == 3
+        assert sorted(s.drain_new()) == ["a", "b", "c"]
+        assert s.drain_new() == []
+
+    def test_offer_resolve_min_key_any_arrival_order(self):
+        """The winner per hash is the minimum sortkey regardless of the
+        order concurrent tasks offered in (round-local first-wins)."""
+        offers = [
+            ("h1", "parentB:00000005", ("uB", "hostx", "pB")),
+            ("h1", "parentA:00000002", ("uA", "hostx", "pA")),
+            ("h2", "parentC:00000001", ("uC", "hosty", "pC")),
+            ("h1", "parentA:00000001", ("uA1", "hostx", "pA")),
+        ]
+        for perm_seed in range(4):
+            s = SeenShard("exact")
+            shuffled = offers[:]
+            random.Random(perm_seed).shuffle(shuffled)
+            for h, k, p in shuffled:
+                s.offer([h], [k], [p])
+            winners = s.resolve()
+            assert [w[0] for w in winners] == ["h1", "h2"]  # hash-sorted
+            assert winners[0][1] == "uA1"  # min key wins
+            # resolved hashes are now seen: further offers are rejected
+            s.offer(["h1"], ["parentZ:00000000"], [("uZ", "x", "z")])
+            assert s.resolve() == []
+
+    def test_offer_skips_already_seen(self):
+        s = SeenShard("exact")
+        s.seen_and_add(["h1"])
+        s.drain_new()
+        s.offer(["h1", "h2"], ["k1", "k2"], [("u1", "x", "p"), ("u2", "x", "p")])
+        winners = s.resolve()
+        assert [w[0] for w in winners] == ["h2"]
+        assert s.drain_new() == ["h2"]
+
+    def test_cuckoo_backend_shard(self):
+        s = SeenShard("cuckoo", capacity=1 << 12)
+        m = s.seen_and_add(_hashes(200))
+        assert m.all()
+        m2 = s.seen_and_add(_hashes(200))
+        assert not m2.any()
+
+
+def test_shard_routing_deterministic():
+    hs = _hashes(1000)
+    a = [shard_of(h, 8) for h in hs]
+    b = [shard_of(h, 8) for h in hs]
+    assert a == b
+    # roughly balanced
+    counts = np.bincount(a, minlength=8)
+    assert counts.min() > 60
