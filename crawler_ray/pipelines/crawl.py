@@ -244,9 +244,22 @@ class CrawlEngine:
             ).take_all()
             tt = self._t('partial_sel', tt)
             if not partial:
-                # everything runnable is deferred by retry backoff
+                # everything runnable is deferred by retry backoff:
+                # fast-forward the round clock to the earliest wake-up
+                # (identical to the golden spec's empty rounds — no
+                # selection can occur in between)
+                nb = [
+                    row["m"]
+                    for row in frontier_ds.map_batches(
+                        lambda t: pa.table(
+                            {"m": [pc.min(t["not_before_round"]).as_py()]}
+                        ),
+                        batch_format="pyarrow",
+                    ).take_all()
+                    if row["m"] is not None
+                ]
                 frontier_ds = deferred
-                r += 1
+                r = max(r + 1, min(nb) if nb else r + 1)
                 continue
             pdf = pd.DataFrame(partial)
             pdf = pdf.sort_values(["host", "score", "url_hash"], kind="mergesort")

@@ -44,6 +44,67 @@ class TestVariables:
         assert resolve(42, CTX) == 42
 
 
+class TestSubstitutionV2:
+    POOLS = {
+        "variables": {"city": "jakarta", "n": 5, "ref": "${variables.city}"},
+        "ENV": {"API_KEY": "sekrit"},
+        "input": {"urls": ["https://a", "https://b"]},
+        "pagination": {"current_page": 3},
+        "metadata": {"job": {"id": "j-1"}},
+    }
+
+    def test_sources(self):
+        from crawler_ray.functions.variables import substitute_v2 as sub
+
+        assert sub("${variables.city}", self.POOLS) == "jakarta"
+        assert sub("${ENV.API_KEY}", self.POOLS) == "sekrit"
+        assert sub("${input.urls.1}", self.POOLS) == "https://b"
+        assert sub("${pagination.current_page}", self.POOLS) == 3
+        assert sub("${metadata.job.id}", self.POOLS) == "j-1"
+
+    def test_type_preserving_single_placeholder(self):
+        from crawler_ray.functions.variables import substitute_v2 as sub
+
+        assert sub("${variables.n}", self.POOLS) == 5          # int, not "5"
+        assert sub("n=${variables.n}", self.POOLS) == "n=5"    # embedded: str
+
+    def test_escape(self):
+        from crawler_ray.functions.variables import substitute_v2 as sub
+
+        assert sub(r"literal \${variables.city}", self.POOLS) == "literal ${variables.city}"
+
+    def test_recursive_and_circular(self):
+        from crawler_ray.functions.variables import (
+            CircularReference, substitute_v2 as sub,
+        )
+
+        assert sub("${variables.ref}", self.POOLS) == "jakarta"
+        pools = {"variables": {"a": "${variables.b}", "b": "${variables.a}"}}
+        with pytest.raises(CircularReference):
+            sub("${variables.a}", pools)
+
+    def test_strict_vs_lenient(self):
+        from crawler_ray.functions.variables import (
+            VariableNotFound, substitute_v2 as sub,
+        )
+
+        with pytest.raises(VariableNotFound):
+            sub("${variables.nope}", self.POOLS)
+        assert sub("x${variables.nope}y", self.POOLS, strict=False) == "xy"
+
+    def test_env_fallback_to_os(self, monkeypatch):
+        from crawler_ray.functions.variables import substitute_v2 as sub
+
+        monkeypatch.setenv("MW_TEST_VAR", "fromos")
+        assert sub("${ENV.MW_TEST_VAR}", self.POOLS) == "fromos"
+
+    def test_containers(self):
+        from crawler_ray.functions.variables import substitute_v2 as sub
+
+        out = sub({"k": ["${variables.city}", {"n": "${variables.n}"}]}, self.POOLS)
+        assert out == {"k": ["jakarta", {"n": 5}]}
+
+
 class TestConditions:
     def test_equality(self):
         assert evaluate("{{crawl.status}} == 'success'", CTX)
