@@ -104,7 +104,10 @@ def run_bench() -> dict:
     )
     t0 = time.monotonic()
     result = engine.run()
-    n_pages = result.pages.count()
+    # pin pages once: the dedup pass + any downstream consumer would
+    # otherwise re-execute the per-round page lineage per consumption
+    pages = result.pages.materialize()
+    n_pages = pages.count()
     crawl_sec = time.monotonic() - t0
     n_urls = len(result.seen)
 
@@ -113,7 +116,7 @@ def run_bench() -> dict:
         # duplicate marking is benched as its own stage (the headline is the
         # BASELINE.json metric: frontier URLs/s + pages fetched+parsed/s)
         t0 = time.monotonic()
-        mark_duplicates(result.pages).count()
+        mark_duplicates(pages).count()
         queries_sec["mark_duplicates"] = round(time.monotonic() - t0, 3)
         for name in BENCH_QUERIES:
             t0 = time.monotonic()

@@ -17,7 +17,7 @@ as a streaming Dataset program per round:
                   → groupby(url_hash) first-wins (round-local dedup)
                   → sharded seen-set actors (fused anti-join seen_and_add)
                   → new frontier rows
-    next frontier = deferred ∪ (candidates \\ selected) ∪ retries ∪ new
+    next frontier = (frontier \\ selected) ∪ retries ∪ new
 
 Scale notes (10^10-URL design, tested single-node):
 - The only all-to-all exchanges per round are the final top-B groupby (over
@@ -116,7 +116,7 @@ class CrawlEngine:
         seen_backend: str = "exact",
         checkpoint_dir: str | None = None,
         fetch_concurrency: int = 2,
-        fetch_batch_size: int = 128,
+        fetch_batch_size: int = 128,   # actor-pool mode batch splitting
         max_retries: int = MAX_RETRIES,
         robots: RobotsPolicy | None = None,
         requests_per_second: float | None = None,
@@ -185,9 +185,6 @@ class CrawlEngine:
         df = df.groupby("host", sort=False).head(self.budget)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _final_topb(self, df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["score", "url_hash"], kind="mergesort").head(self.budget)
-
     # ------------------------------------------------------------ run
     def run(
         self,
@@ -230,10 +227,6 @@ class CrawlEngine:
                 lambda t, rr=rr: t.filter(pc.less_equal(t["not_before_round"], rr)),
                 batch_format="pyarrow",
             )
-            deferred = frontier_ds.map_batches(
-                lambda t, rr=rr: t.filter(pc.greater(t["not_before_round"], rr)),
-                batch_format="pyarrow",
-            )
 
             # partial top-B per block (distributed), final top-B on the driver
             # over <= B*hosts*blocks partial winners — the selected set is
@@ -258,7 +251,6 @@ class CrawlEngine:
                     ).take_all()
                     if row["m"] is not None
                 ]
-                frontier_ds = deferred
                 r = max(r + 1, min(nb) if nb else r + 1)
                 continue
             pdf = pd.DataFrame(partial)
@@ -275,7 +267,9 @@ class CrawlEngine:
                 sel_df, preserve_index=False
             ).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
 
-            remaining = candidates.map_batches(
+            # everything not fetched this round stays in the frontier
+            # (deferred-by-backoff rows and unselected candidates alike)
+            rest = frontier_ds.map_batches(
                 lambda t, sh=sel_hashes: t.filter(
                     pa.array([h not in sh for h in t["url_hash"].to_pylist()])
                 ),
@@ -420,11 +414,11 @@ class CrawlEngine:
             else:
                 new_tbl = _empty_frontier()
 
-            # repartition bounds block count: deferred/remaining each inherit
-            # the previous frontier's blocks, so an unbounded union doubles
-            # blocks every round (exponential scheduling overhead)
+            # repartition bounds block count: rest inherits the previous
+            # frontier's blocks, so an unbounded union grows blocks every
+            # round (exponential scheduling overhead)
             frontier_ds = (
-                deferred.union(remaining)
+                rest
                 .union(rd.from_arrow(retries_tbl))
                 .union(rd.from_arrow(new_tbl))
                 .map_batches(

@@ -33,8 +33,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field as dc_field
-from typing import Any
-
 import pyarrow as pa
 
 import ray.data as rd
@@ -79,7 +77,6 @@ def validate_workflow(steps: list[Step]) -> list[Step]:
     if len(set(names)) != len(names):
         dupes = sorted({n for n in names if names.count(n) > 1})
         raise ValueError(f"duplicate step names: {dupes}")
-    by_name = {s.name: s for s in steps}
     deps: dict[str, set[str]] = {}
     for s in steps:
         wanted = set(s.depends_on)
