@@ -313,6 +313,99 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_orderpriority_revenue(sf_dir: str):
+    """Large-by-large partitioned hash join (lineitem x orders) + grouped
+    aggregate — the explicit co-grouped join pattern (stages/join.py;
+    broadcast joins cover the small-side case elsewhere)."""
+    from crawler_ray.stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({"o_orderpriority": pa.array([], type=pa.string()),
+                             "n_items": pa.array([], type=pa.int64()),
+                             "scaled": pa.array([], type=pa.int64())})
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                          "scaled": price_c * (100 - disc_c)})
+        out = (
+            g.groupby("o_orderpriority", sort=False)
+            .agg(n_items=("scaled", "size"), scaled=("scaled", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    final = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("scaled", alias_name="scaled"))
+    )
+    return final.map_batches(
+        lambda df: df.assign(revenue=duck_round(df["scaled"] / 10000.0, 2)).drop(
+            columns=["scaled"]
+        ),
+        batch_format="pandas",
+    )
+
+
+SQL_ORDERPRIORITY_REVENUE = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_event_last_order(sf_dir: str):
+    """As-of join: each event matched to its user's most recent order at or
+    before the event time (stages/join.py asof_join — DuckDB ASOF JOIN
+    semantics; the matched DATE is deterministic even when a user has
+    several orders that day)."""
+    from crawler_ray.stages.join import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    # one right row per (custkey, date): the as-of target is the date
+    orders = (
+        orders.groupby("o_custkey")
+        .map_groups(
+            lambda df: df.drop_duplicates(["o_custkey", "o_orderdate"]),
+            batch_format="pandas",
+        )
+    )
+    joined = asof_join(events, orders, key=("user_id", "o_custkey"),
+                       time=("ts", "o_orderdate"))
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        # empty-bucket frames union as object/float blocks; cast back
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].astype("int64")),
+                "user_id": pa.array(df["user_id"].astype("int64")),
+                "ts": pa.array(pd.to_datetime(df["ts"]), type=pa.timestamp("us")),
+                "last_order_date": pa.array(
+                    pd.to_datetime(df["o_orderdate"]), type=pa.timestamp("us")
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENT_LAST_ORDER = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e ASOF JOIN (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1281,6 +1374,8 @@ QUERIES = {
     "top_orders": q_top_orders,
     "mktsegment_revenue": q_mktsegment_revenue,
     "nation_orders": q_nation_orders,
+    "orderpriority_revenue": q_orderpriority_revenue,
+    "event_last_order": q_event_last_order,
     "part_brand_stats": q_part_brand_stats,
     "events_by_type": q_events_by_type,
     "events_hourly_window": q_events_hourly_window,
@@ -1318,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": SQL_TOP_ORDERS,
         "mktsegment_revenue": SQL_MKTSEGMENT,
         "nation_orders": SQL_NATION_ORDERS,
+        "orderpriority_revenue": SQL_ORDERPRIORITY_REVENUE,
+        "event_last_order": SQL_EVENT_LAST_ORDER,
         "part_brand_stats": SQL_PART_BRAND,
         "events_by_type": SQL_EVENTS_BY_TYPE,
         "events_hourly_window": SQL_EVENTS_WINDOW,

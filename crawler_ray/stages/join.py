@@ -1,0 +1,154 @@
+"""Large-by-large joins as explicit partitioned hash joins + as-of joins.
+
+Ray Data's built-in ``Dataset.join`` availability varies by release, so the
+engine carries the portable pattern (ray_guide: bucket both sides by
+``hash(key) % B``, co-group per bucket, join inside the bucket):
+
+- :func:`hash_join` — tag each side, union, ``groupby(bucket)``, pandas
+  merge inside the bucket.  One all-to-all for BOTH sides together; B
+  bounds per-task memory (a bucket holds ~|L|/B + |R|/B rows).  Skewed hot
+  keys should be salted into sub-buckets before calling (the caller knows
+  its key distribution; see pipelines/crawl.py mega-host salting for the
+  pattern).
+- :func:`asof_join` — same bucketing with ``pd.merge_asof`` per bucket
+  (both sides sorted by (key, time) inside the bucket), i.e. the
+  "last right row at or before the left row's time per key" semantics of
+  DuckDB's ASOF JOIN.
+
+Broadcast joins (small side) stay the preferred path — see
+queries.py::q_mktsegment_revenue; these operators exist for the genuinely
+large-large case.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+DEFAULT_BUCKETS = 32
+
+
+def _with_bucket(ds: "rd.Dataset", key: str, side: str, n_buckets: int) -> "rd.Dataset":
+    def tag(t: pa.Table) -> pa.Table:
+        buckets = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n_buckets
+            for v in t[key].to_pylist()
+        ]
+        return t.append_column(
+            "__bucket", pa.array(buckets, type=pa.int64())
+        ).append_column("__side", pa.array([side] * len(t), type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    how: str = "inner",
+) -> "rd.Dataset":
+    """Partitioned hash join; output columns = left columns + right columns
+    (right key column dropped when names differ).  Column name collisions
+    other than the keys must be resolved by the caller beforehand."""
+    lt = _with_bucket(left, left_key, "l", n_buckets)
+    rt = _with_bucket(
+        right.map_batches(
+            # align the bucket hash input: bucket by the JOIN VALUE
+            lambda t: t, batch_format="pyarrow"
+        ),
+        right_key, "r", n_buckets,
+    )
+
+    # union of mismatched schemas: keep per-side tables inside one object
+    # column is wasteful — instead co-group by sending both datasets through
+    # one groupby on a shared (bucket, side) schema with packed payloads.
+    # Simpler and still single-shuffle: union after aligning columns via a
+    # struct-pack column.
+    def pack(t: pa.Table) -> pa.Table:
+        payload = t.drop_columns(["__bucket", "__side"])
+        struct = pa.StructArray.from_arrays(
+            [payload[c].combine_chunks() for c in payload.column_names],
+            payload.column_names,
+        )
+        return pa.table(
+            {"__bucket": t["__bucket"], "__side": t["__side"],
+             "__row": struct}
+        )
+
+    packed = pack  # alias for readability
+
+    both = lt.map_batches(packed, batch_format="pyarrow").union(
+        rt.map_batches(packed, batch_format="pyarrow")
+    )
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lrows = pd.DataFrame(list(df[df["__side"] == "l"]["__row"]), columns=lcols)
+        rrows = pd.DataFrame(list(df[df["__side"] == "r"]["__row"]), columns=rcols)
+        merged = lrows.merge(
+            rrows, left_on=left_key, right_on=right_key, how=how,
+            suffixes=("", "__r"),
+        )
+        if right_key != left_key and right_key in merged.columns:
+            merged = merged.drop(columns=[right_key])
+        return merged
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: tuple[str, str],
+    time: tuple[str, str],
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "rd.Dataset":
+    """For each left row, attach the right row with the greatest
+    ``time[1] <= time[0]`` for the same key (backward as-of; DuckDB
+    ASOF JOIN semantics).  Left rows without a match are dropped (inner)."""
+    lk, rk = key
+    lt_col, rt_col = time
+    lt = _with_bucket(left, lk, "l", n_buckets)
+    rt = _with_bucket(right, rk, "r", n_buckets)
+
+    def pack(t: pa.Table) -> pa.Table:
+        payload = t.drop_columns(["__bucket", "__side"])
+        struct = pa.StructArray.from_arrays(
+            [payload[c].combine_chunks() for c in payload.column_names],
+            payload.column_names,
+        )
+        return pa.table(
+            {"__bucket": t["__bucket"], "__side": t["__side"], "__row": struct}
+        )
+
+    both = lt.map_batches(pack, batch_format="pyarrow").union(
+        rt.map_batches(pack, batch_format="pyarrow")
+    )
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lrows = pd.DataFrame(list(df[df["__side"] == "l"]["__row"]), columns=lcols)
+        rrows = pd.DataFrame(list(df[df["__side"] == "r"]["__row"]), columns=rcols)
+        if lrows.empty or rrows.empty:
+            cols = lcols + [c for c in rcols if c not in lcols]
+            return pd.DataFrame(columns=cols)
+        lrows = lrows.sort_values(lt_col, kind="mergesort")
+        rrows = rrows.sort_values(rt_col, kind="mergesort")
+        merged = pd.merge_asof(
+            lrows, rrows, left_on=lt_col, right_on=rt_col,
+            left_by=lk, right_by=rk, direction="backward",
+            suffixes=("", "__r"),
+        )
+        return merged[merged[rt_col].notna()]
+
+    return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
