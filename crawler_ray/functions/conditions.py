@@ -104,18 +104,17 @@ def evaluate(condition: str, context: dict) -> bool:
 
 
 def should_run(step_config: dict, context: dict) -> bool:
-    """The orchestrator's skip_if / run_only_if contract
-    (step_orchestrator.py:389-444): skip_if true -> skip; run_only_if false
-    -> skip; evaluation ERRORS default to RUN (condition_evaluator.py:80-88
-    returns False, which skips nothing for skip_if and would wrongly skip
-    for run_only_if — the reference wraps run_only_if errors to run)."""
+    """The orchestrator's skip_if / run_only_if contract, mirrored exactly
+    (step_orchestrator.py:389-444): when ``skip_if`` is present it alone
+    decides (``run_only_if`` is IGNORED — reference returns early); else
+    ``run_only_if`` false -> skip.  Evaluation errors yield False from
+    :func:`evaluate` (condition_evaluator.py:80-88), which means
+    error -> RUN for skip_if but error -> SKIP for run_only_if — a
+    reference quirk preserved deliberately."""
     skip_if = step_config.get("skip_if")
-    if skip_if and evaluate(skip_if, context):
-        return False
+    if skip_if:
+        return not evaluate(skip_if, context)
     run_only_if = step_config.get("run_only_if")
     if run_only_if:
-        try:
-            return evaluate(run_only_if, context)
-        except Exception:
-            return True
+        return evaluate(run_only_if, context)
     return True

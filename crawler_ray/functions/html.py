@@ -62,6 +62,12 @@ TIMESTAMP_RES = [
 ]
 
 MAIN_CONTENT_TAGS = ("main", "article")
+# tags with no closing tag: must never open a skip scope (no end tag would
+# ever close it, swallowing all following content)
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
 _WS = re.compile(r"\s+")
 
 
@@ -91,12 +97,14 @@ class _SpanCollector(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if self._skip_depth:
-            self._skip_depth += 1
+            if tag not in VOID_TAGS:
+                self._skip_depth += 1
             return
         ad = dict(attrs)
         marker = f"{ad.get('class', '')} {ad.get('id', '')}"
         if tag in BOILERPLATE_TAGS or AD_CLASS_RE.search(marker):
-            self._skip_depth = 1
+            if tag not in VOID_TAGS:  # void tags (meta/link/...) have no
+                self._skip_depth = 1  # end tag to close a skip scope
             return
         if tag == "title":
             self._flush_text()

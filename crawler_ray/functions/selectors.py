@@ -187,15 +187,24 @@ def css_select(root: Node, selector: str) -> list[Node]:
 
 # ---------------------------------------------------------------- XPath-lite
 def xpath_select(root: Node, path: str) -> tuple[list[Node], str | None]:
-    """Nodes for an XPath-lite expression; returns (nodes, attr_leaf)."""
+    """Nodes for an XPath-lite expression; returns (nodes, attr_leaf).
+
+    ``/a/b`` is root-anchored (child steps); ``//a`` at any position means
+    descend.  Implemented by marking descendant steps with a sentinel so a
+    single leading slash stays a child-of-root step.
+    """
     attr_leaf = None
-    steps = re.split(r"/(?=/)|/", path)  # split on single slashes
-    # normalize: '//x' produces '' then 'x' handled as descendant step
+    work = path.replace("//", "/\x00")
+    if work.startswith("/"):
+        work = work[1:]  # root anchor: first step is a CHILD of the root
+    steps = work.split("/")
     current = [root]
     descend_next = False
     for raw in steps:
-        if raw == "":
+        if raw.startswith("\x00"):
             descend_next = True
+            raw = raw[1:]
+        if raw == "":
             continue
         if raw.startswith("@"):
             attr_leaf = raw[1:]

@@ -282,15 +282,34 @@ class CrawlEngine:
             # is an all-to-all with ~1-2 s fixed cost per round.  Block count
             # targets ~4 blocks per CPU (small rounds still spread their
             # fetch latency) with >= 4 rows per block.
-            n_fetch_blocks = max(
-                1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
-            )
-            per = -(-len(selected_tbl) // n_fetch_blocks)
-            slices = [
-                selected_tbl.slice(i * per, per)
-                for i in range(n_fetch_blocks)
-                if i * per < len(selected_tbl)
-            ]
+            if self.requests_per_second is not None:
+                # wall-clock politeness mode: one block PER HOST so a host's
+                # requests are serialized through a single actor's token
+                # bucket — row-sliced blocks would scatter one host across
+                # the pool and multiply its effective rate by the pool size
+                sel_sorted = selected_tbl.sort_by("host")
+                hosts_col = sel_sorted["host"].to_pylist()
+                slices = []
+                start = 0
+                for i in range(1, len(hosts_col) + 1):
+                    if i == len(hosts_col) or hosts_col[i] != hosts_col[start]:
+                        slices.append(sel_sorted.slice(start, i - start))
+                        start = i
+                slices = slices or [selected_tbl]
+            else:
+                # budget-discretized politeness: pre-slice for parallelism
+                # (from_arrow of a list = one block per slice; repartition
+                # would be an all-to-all with ~1-2 s fixed cost per round).
+                # ~2 blocks per CPU with >= 4 rows per block.
+                n_fetch_blocks = max(
+                    1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
+                )
+                per = -(-len(selected_tbl) // n_fetch_blocks)
+                slices = [
+                    selected_tbl.slice(i * per, per)
+                    for i in range(n_fetch_blocks)
+                    if i * per < len(selected_tbl)
+                ]
             fetch_stage = rd.from_arrow(slices)
             if self.requests_per_second is not None:
                 # politeness pacing needs per-host wall-clock state -> actor pool
@@ -326,6 +345,10 @@ class CrawlEngine:
                 return ok.append_column("round", pa.array([rr] * len(ok), type=pa.int32()))
 
             pages_round = parsed.map_batches(_ok_pages, batch_format="pyarrow")
+            if self.checkpoint_dir:
+                # pin once: the emptiness check and the parquet write below
+                # would otherwise each re-execute the _ok_pages stage
+                pages_round = pages_round.materialize()
             page_parts.append(pages_round)
 
             # --- failures: retry or dead-letter ---------------------------
@@ -445,9 +468,35 @@ class CrawlEngine:
                 self._write_round_outputs(r, pages_round, sel_rows, seen_delta, metrics[-1])
             r += 1
 
-        pages = page_parts[0] if page_parts else None
-        for p in page_parts[1:]:
-            pages = pages.union(p)
+        if page_parts:
+            pages = page_parts[0]
+            for p in page_parts[1:]:
+                pages = pages.union(p)
+        else:
+            # zero rounds executed (e.g. every seed robots-blocked): an
+            # empty Dataset with the pages schema keeps downstream dedup /
+            # writes total instead of crashing on None
+            from crawler_ray.stages.parse import SPAN_TYPE
+
+            empty_pages = pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "url_hash": pa.array([], type=pa.string()),
+                    "host": pa.array([], type=pa.string()),
+                    "priority": pa.array([], type=pa.int32()),
+                    "score": pa.array([], type=pa.int64()),
+                    "discovery_round": pa.array([], type=pa.int32()),
+                    "retry_count": pa.array([], type=pa.int32()),
+                    "lineage": pa.array([], type=pa.string()),
+                    "status": pa.array([], type=pa.int32()),
+                    "title": pa.array([], type=pa.string()),
+                    "spans": pa.array([], type=SPAN_TYPE),
+                    "content_hash": pa.array([], type=pa.string()),
+                    "simhash": pa.array([], type=pa.int64()),
+                    "round": pa.array([], type=pa.int32()),
+                }
+            )
+            pages = rd.from_arrow(empty_pages)
         return CrawlResult(
             pages=pages,
             order=order,
@@ -495,7 +544,13 @@ class CrawlEngine:
             ]
             return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
+        # remove any prior attempt first: Ray's write_parquet APPENDS into an
+        # existing directory, which would double rows on a crash-replay
         d = os.path.join(self._round_dir(r), "frontier")
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
         os.makedirs(d, exist_ok=True)
         frontier_ds.map_batches(_bucketize, batch_format="pyarrow").write_parquet(
             d, partition_cols=["bucket"]
@@ -504,8 +559,15 @@ class CrawlEngine:
     def _write_round_outputs(self, r, pages_round, sel_rows, seen_delta, metric) -> None:
         d = self._round_dir(r)
         os.makedirs(d, exist_ok=True)
+        pages_dir = os.path.join(d, "pages")
+        if os.path.isdir(pages_dir):
+            # replayed round: write_parquet appends, so clear the prior
+            # attempt to keep round replay idempotent
+            import shutil
+
+            shutil.rmtree(pages_dir)
         if pages_round.count():
-            pages_round.write_parquet(os.path.join(d, "pages"))
+            pages_round.write_parquet(pages_dir)
         with open(os.path.join(d, "order.json"), "w") as f:
             json.dump([[r, s["url_hash"], s["url"]] for s in sel_rows], f)
         with open(os.path.join(d, "seen_delta.json"), "w") as f:

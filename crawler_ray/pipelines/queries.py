@@ -639,7 +639,14 @@ def q_doc_hash_stats(sf_dir: str):
     parts = dedup.map_batches(partial, batch_format="pandas").take_all()
     n_distinct = sum(p["n_distinct"] for p in parts)
     total = sum(p["total_docs"] for p in parts)
-    mx = max(p["max_occurrence"] for p in parts)
+    mx = max((p["max_occurrence"] for p in parts), default=0)
+    if n_distinct == 0:
+        return pa.table(
+            {"n_distinct": pa.array([0], type=pa.int64()),
+             "total_docs": pa.array([0], type=pa.int64()),
+             "max_occurrence": pa.array([0], type=pa.int64()),
+             "avg_occurrence": pa.array([0.0], type=pa.float64())}
+        )
     return pa.table(
         {
             "n_distinct": pa.array([n_distinct], type=pa.int64()),

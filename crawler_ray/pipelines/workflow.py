@@ -20,8 +20,10 @@ Reference quirks preserved deliberately:
   by (page_idx, dom_idx) so the distributed result is identical);
 - scrape errors keep only the first 5 messages
   (``scrape_executor.py:209-211``);
-- condition evaluation failures default to running the step
-  (``step_orchestrator.py:389-444``).
+- when ``skip_if`` is present it alone decides (``run_only_if`` ignored);
+  condition-evaluation errors yield False, meaning run for skip_if but
+  skip for run_only_if (``step_orchestrator.py:389-444`` +
+  ``condition_evaluator.py:80-88``).
 
 Scale note: step outputs (URL lists / item lists) live in the driver context
 exactly as the reference holds them in its StepExecutionContext — bounded by

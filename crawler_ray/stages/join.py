@@ -57,13 +57,7 @@ def hash_join(
     (right key column dropped when names differ).  Column name collisions
     other than the keys must be resolved by the caller beforehand."""
     lt = _with_bucket(left, left_key, "l", n_buckets)
-    rt = _with_bucket(
-        right.map_batches(
-            # align the bucket hash input: bucket by the JOIN VALUE
-            lambda t: t, batch_format="pyarrow"
-        ),
-        right_key, "r", n_buckets,
-    )
+    rt = _with_bucket(right, right_key, "r", n_buckets)
 
     # union of mismatched schemas: keep per-side tables inside one object
     # column is wasteful — instead co-group by sending both datasets through

@@ -87,3 +87,18 @@ def test_resume_with_incomplete_last_round(ray_session, ckpt_dir):
     assert [(r, h) for r, h, _ in resumed.order] == [
         (r, h) for r, h, _ in baseline.order
     ]
+    assert resumed.pages.count() == baseline.pages.count()
+
+    # a SECOND crash + resume over already-written round dirs must not
+    # duplicate rows (Ray write_parquet appends into existing dirs — the
+    # writers clear their target first)
+    for d in sorted(os.listdir(ckpt_dir)):
+        if d.startswith("round=") and int(d.split("=")[1]) >= 2:
+            m = os.path.join(ckpt_dir, d, "manifest.json")
+            if os.path.exists(m):
+                os.remove(m)
+    resumed2 = CrawlEngine.resume(
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2
+    )
+    assert resumed2.pages.count() == baseline.pages.count()
+    assert resumed2.seen == baseline.seen

@@ -120,6 +120,19 @@ class TestXpath:
         nodes, _ = xpath_select(dom, "/html/body/*")
         assert [n.tag for n in nodes] == ["div", "ul"]
 
+    def test_absolute_is_root_anchored(self):
+        # regression: '/a/b' must NOT behave like '//a/b'
+        dom = parse_dom(
+            "<html><body><ul><li>top</li></ul>"
+            "<div><ul><li>nested</li></ul></div></body></html>"
+        )
+        anchored, _ = xpath_select(dom, "/html/body/ul/li")
+        assert [n.text() for n in anchored] == ["top"]
+        descend, _ = xpath_select(dom, "//ul/li")
+        assert [n.text() for n in descend] == ["top", "nested"]
+        mid_descend, _ = xpath_select(dom, "/html/body/div//li")
+        assert [n.text() for n in mid_descend] == ["nested"]
+
 
 class TestJsonPath:
     DATA = {"items": [{"id": 1, "tags": ["a", "b"]}, {"id": 2}], "meta": {"n": 2}}

@@ -150,6 +150,16 @@ class TestConditions:
         assert should_run({"skip_if": "{{crawl.status}} == 'failed'"}, CTX)
         assert should_run({"run_only_if": "{{crawl.urls}} !empty"}, CTX)
         assert not should_run({"run_only_if": "{{crawl.urls}} empty"}, CTX)
+        # reference quirks (step_orchestrator.py:389-444): evaluation errors
+        # yield False -> run for skip_if, SKIP for run_only_if; and a present
+        # skip_if short-circuits (run_only_if ignored)
+        assert should_run({"skip_if": "{{missing.x}} == 1"}, CTX)
+        assert not should_run({"run_only_if": "{{missing.x}} == 1"}, CTX)
+        assert should_run(
+            {"skip_if": "{{crawl.status}} == 'failed'",
+             "run_only_if": "{{crawl.urls}} empty"},  # ignored
+            CTX,
+        )
 
 
 class TestCron:
