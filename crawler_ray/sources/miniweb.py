@@ -180,7 +180,9 @@ class MiniWeb:
         # byte-identical normalized text -> identical content_hash
         title = "Dokumen " + " ".join(paras[0].split()[:3])
         return (
-            f"<html><head><title>{title}</title></head><body>"
+            f'<html><head><meta charset="utf-8">'
+            f'<link rel="stylesheet" href="/static/s.css">'
+            f"<title>{title}</title></head><body>"
             f'<nav><a href="/list?page=1">beranda</a></nav>'
             f"<article>{body}"
             f'<img src="https://{host}/media/doc{n}.png">'
@@ -220,7 +222,8 @@ class MiniWeb:
             links.append(f'<a href="/list?page={page + 1}">berikutnya</a>')
         items = "\n".join(f"<li>{a}</li>" for a in links)
         return (
-            f"<html><head><title>Daftar {host} halaman {page}</title></head>"
+            f'<html><head><meta charset="utf-8">'
+            f"<title>Daftar {host} halaman {page}</title></head>"
             f"<body><main><ul>{items}</ul></main></body></html>"
         )
 
