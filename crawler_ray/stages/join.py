@@ -4,7 +4,7 @@ Ray Data's built-in ``Dataset.join`` availability varies by release, so the
 engine carries the portable pattern (ray_guide: bucket both sides by
 ``hash(key) % B``, co-group per bucket, join inside the bucket):
 
-- :func:`hash_join` — tag each side, union, ``groupby(bucket)``, pandas
+- :func:`hash_join` — tag each side, union, ``groupby(bucket)``, vectorized
   merge inside the bucket.  One all-to-all for BOTH sides together; B
   bounds per-task memory (a bucket holds ~|L|/B + |R|/B rows).  Skewed hot
   keys should be salted into sub-buckets before calling (the caller knows
@@ -18,31 +18,71 @@ engine carries the portable pattern (ray_guide: bucket both sides by
 Broadcast joins (small side) stay the preferred path — see
 queries.py::q_mktsegment_revenue; these operators exist for the genuinely
 large-large case.
+
+All per-row work is vectorized: bucket ids come from
+``pd.util.hash_array`` (deterministic siphash with pandas' fixed default
+key, so every worker process computes the same bucket for the same value),
+and the packed ``__row`` struct column is unpacked with Arrow
+``StructArray.flatten()`` — no Python-object row materialization.
 """
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
 DEFAULT_BUCKETS = 32
 
 
+def bucket_ids(values, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized hash-bucket assignment for a key column.
+
+    ``pd.util.hash_array`` uses a fixed default hash key, so results agree
+    across worker processes (required: both join sides bucket independently).
+    """
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _with_bucket(ds: "rd.Dataset", key: str, side: str, n_buckets: int) -> "rd.Dataset":
     def tag(t: pa.Table) -> pa.Table:
-        buckets = [
-            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % n_buckets
-            for v in t[key].to_pylist()
-        ]
+        b = bucket_ids(t[key].to_numpy(zero_copy_only=False), n_buckets)
         return t.append_column(
-            "__bucket", pa.array(buckets, type=pa.int64())
+            "__bucket", pa.array(b, type=pa.int64())
         ).append_column("__side", pa.array([side] * len(t), type=pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _pack(t: pa.Table) -> pa.Table:
+    """Pack all payload columns into one struct column so mismatched left /
+    right schemas can flow through a single union + groupby shuffle."""
+    payload = t.drop_columns(["__bucket", "__side"])
+    struct = pa.StructArray.from_arrays(
+        [payload[c].combine_chunks() for c in payload.column_names],
+        payload.column_names,
+    )
+    return pa.table(
+        {"__bucket": t["__bucket"], "__side": t["__side"], "__row": struct}
+    )
+
+
+def _unpack_side(t: pa.Table, side: str, cols: list[str]) -> pd.DataFrame:
+    """Vectorized struct unpack for one side of the bucket (Arrow
+    ``flatten()``, no per-row Python)."""
+    rows = t.filter(pc.equal(t["__side"], side))["__row"].combine_chunks()
+    if len(rows) == 0:
+        return pd.DataFrame(columns=cols)
+    # Ray unifies the two sides' struct schemas at union time (missing
+    # fields become null), so select fields BY NAME, never positionally.
+    return pa.table({c: pc.struct_field(rows, c) for c in cols}).to_pandas()
 
 
 def hash_join(
@@ -59,34 +99,16 @@ def hash_join(
     lt = _with_bucket(left, left_key, "l", n_buckets)
     rt = _with_bucket(right, right_key, "r", n_buckets)
 
-    # union of mismatched schemas: keep per-side tables inside one object
-    # column is wasteful — instead co-group by sending both datasets through
-    # one groupby on a shared (bucket, side) schema with packed payloads.
-    # Simpler and still single-shuffle: union after aligning columns via a
-    # struct-pack column.
-    def pack(t: pa.Table) -> pa.Table:
-        payload = t.drop_columns(["__bucket", "__side"])
-        struct = pa.StructArray.from_arrays(
-            [payload[c].combine_chunks() for c in payload.column_names],
-            payload.column_names,
-        )
-        return pa.table(
-            {"__bucket": t["__bucket"], "__side": t["__side"],
-             "__row": struct}
-        )
-
-    packed = pack  # alias for readability
-
-    both = lt.map_batches(packed, batch_format="pyarrow").union(
-        rt.map_batches(packed, batch_format="pyarrow")
+    both = lt.map_batches(_pack, batch_format="pyarrow").union(
+        rt.map_batches(_pack, batch_format="pyarrow")
     )
 
     lcols = left.schema().names
     rcols = right.schema().names
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lrows = pd.DataFrame(list(df[df["__side"] == "l"]["__row"]), columns=lcols)
-        rrows = pd.DataFrame(list(df[df["__side"] == "r"]["__row"]), columns=rcols)
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        lrows = _unpack_side(t, "l", lcols)
+        rrows = _unpack_side(t, "r", rcols)
         merged = lrows.merge(
             rrows, left_on=left_key, right_on=right_key, how=how,
             suffixes=("", "__r"),
@@ -95,7 +117,7 @@ def hash_join(
             merged = merged.drop(columns=[right_key])
         return merged
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(
@@ -113,26 +135,16 @@ def asof_join(
     lt = _with_bucket(left, lk, "l", n_buckets)
     rt = _with_bucket(right, rk, "r", n_buckets)
 
-    def pack(t: pa.Table) -> pa.Table:
-        payload = t.drop_columns(["__bucket", "__side"])
-        struct = pa.StructArray.from_arrays(
-            [payload[c].combine_chunks() for c in payload.column_names],
-            payload.column_names,
-        )
-        return pa.table(
-            {"__bucket": t["__bucket"], "__side": t["__side"], "__row": struct}
-        )
-
-    both = lt.map_batches(pack, batch_format="pyarrow").union(
-        rt.map_batches(pack, batch_format="pyarrow")
+    both = lt.map_batches(_pack, batch_format="pyarrow").union(
+        rt.map_batches(_pack, batch_format="pyarrow")
     )
 
     lcols = left.schema().names
     rcols = right.schema().names
 
-    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lrows = pd.DataFrame(list(df[df["__side"] == "l"]["__row"]), columns=lcols)
-        rrows = pd.DataFrame(list(df[df["__side"] == "r"]["__row"]), columns=rcols)
+    def asof_bucket(t: pa.Table) -> pd.DataFrame:
+        lrows = _unpack_side(t, "l", lcols)
+        rrows = _unpack_side(t, "r", rcols)
         if lrows.empty or rrows.empty:
             cols = lcols + [c for c in rcols if c not in lcols]
             return pd.DataFrame(columns=cols)
@@ -145,4 +157,4 @@ def asof_join(
         )
         return merged[merged[rt_col].notna()]
 
-    return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
