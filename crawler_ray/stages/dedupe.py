@@ -10,21 +10,32 @@ is crawl order — rank key (round, score, url_hash).
 The reference finds fuzzy matches with an O(N) full-scan XOR SQL query per
 page (``/root/reference/sql/queries/content_hash.sql:67-78``).  Here:
 
-- exact: ``groupby(content_hash)`` keep-first (one shuffle keyed exactly as
-  the reference's UNIQUE(content_hash) table);
-- fuzzy: 4x16-bit LSH banding — two 64-bit fingerprints at distance <= 3
-  share at least one of 4 bands (pigeonhole), so ``flat-map band keys ->
-  groupby(band) -> in-group vectorized Hamming verify`` finds EVERY pair at
-  distance <= 3 with bounded candidate sets, then a second tiny groupby
-  picks each page's best match.  Skew note: a band bucket of k near-identical
-  pages costs O(k^2) verify — acceptable because candidates carry distinct
-  content hashes; pathological buckets should be capped + sampled at 100 TB
-  scale (documented, not needed at sandbox scale).
+- **fused exact + same-fingerprint pass**: identical content implies an
+  identical simhash, so every content_hash group nests inside a simhash
+  group — ONE shuffle keyed by simhash handles both the reference's
+  UNIQUE(content_hash) exact marking (rank-first canonical per
+  content_hash) and the distance-0 fast path (later DISTINCT-content pages
+  sharing a full 64-bit fingerprint are duplicates of the fp-group's
+  earliest canonical, sim 100).  The LSH stage then runs over DISTINCT
+  fingerprints only, collapsing pathological K-same-fp clusters that
+  would otherwise create K^2 band candidates.
+- **fuzzy**: 4x16-bit LSH banding — two 64-bit fingerprints at distance
+  <= 3 share at least one of 4 bands (pigeonhole), so ``flat-map band keys
+  -> groupby(band) -> in-group vectorized Hamming verify`` finds EVERY pair
+  at distance <= 3 with bounded candidate sets, then a second tiny groupby
+  picks each page's best match.  Skew note: a band bucket of k
+  near-identical pages costs O(k^2) verify — acceptable because candidates
+  carry distinct fingerprints; pathological buckets should be capped +
+  sampled at 100 TB scale (documented, not needed at sandbox scale).
 
-Marks (duplicates only) are collected and broadcast (``ray.put``) into a
-final ``map_batches`` that stamps is_duplicate / duplicate_of /
-similarity_score onto the full pages dataset — a small-side broadcast join,
-no shuffle of the wide span rows.
+Marks live in a DATASET (url_hash, dup_of, similarity), never a driver
+dict.  Stamping onto the wide pages rows picks its strategy by |marks|:
+small mark sets broadcast (``ray.put`` one narrow table, vectorized lookup
+per batch — no shuffle of the wide span rows); large mark sets stamp via a
+distributed left join bucketed on url_hash where the wide page payload
+stays zero-copy Arrow end-to-end (packed struct through the shuffle,
+``struct_field`` unpack, null-masked ``take`` — no pandas conversion of
+span rows ever).
 """
 
 from __future__ import annotations
@@ -32,46 +43,75 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 from crawler_ray.functions.simhash import band_keys, from_signed
+from crawler_ray.stages.join import bucket_ids
 
 N_BANDS = 4
 MAX_HAMMING = 3
+N_DEDUP_BUCKETS = 32
+# Above this many marks the broadcast dict would strain the driver /
+# per-worker heap; switch to the distributed stamp join.
+BROADCAST_MARK_LIMIT = 200_000
 
 
 def _rank_key_col(t: pa.Table) -> pa.Table:
-    rk = [
-        f"{r:06d}|{s:020d}|{h}"
-        for r, s, h in zip(
-            t["round"].to_pylist(), t["score"].to_pylist(), t["url_hash"].to_pylist()
-        )
-    ]
+    rnd = t["round"].to_pandas().astype(str).str.zfill(6)
+    score = t["score"].to_pandas().astype(str).str.zfill(20)
+    rk = rnd.str.cat(score, sep="|").str.cat(t["url_hash"].to_pandas(), sep="|")
     return t.append_column("rank_key", pa.array(rk, type=pa.string()))
 
 
-def _exact_bucket(df: pd.DataFrame) -> pa.Table:
-    """Vectorized per-bucket exact-dup marking: a content_hash lives wholly
-    in one bucket; the rank-first row per hash is canonical.  Bucketing keeps
-    group counts off the Ray shuffle (thousands of tiny map_groups calls
-    cost ~15 ms each); inside the bucket everything is one pandas pass."""
+def _fused_bucket(df: pd.DataFrame) -> pa.Table:
+    """One vectorized pass per simhash-hash bucket doing BOTH the exact
+    content_hash marking and the distance-0 same-fingerprint marking.
+    Bucketing keeps group counts off the Ray shuffle (thousands of tiny
+    map_groups calls cost ~15 ms each); inside the bucket everything is
+    pandas/numpy.  Emits marks (is_rep=False: url_hash, dup_of, similarity)
+    and fingerprint representatives (is_rep=True: url_hash, simhash,
+    rank_key) for the downstream LSH stage."""
     df = df.sort_values(["content_hash", "rank_key"], kind="mergesort")
-    first = df.groupby("content_hash", sort=False)["url_hash"].transform("first")
-    is_dup = df["url_hash"].to_numpy() != first.to_numpy()
+    first_url = df.groupby("content_hash", sort=False)["url_hash"].transform("first")
+    exact_dup = df["url_hash"].to_numpy() != first_url.to_numpy()
+
+    canon = df.loc[~exact_dup].sort_values(["simhash", "rank_key"], kind="mergesort")
+    rep_url = canon.groupby("simhash", sort=False)["url_hash"].transform("first")
+    fp_dup = canon["url_hash"].to_numpy() != rep_url.to_numpy()
+
+    mark_url = np.concatenate(
+        [df["url_hash"].to_numpy()[exact_dup], canon["url_hash"].to_numpy()[fp_dup]]
+    )
+    mark_of = np.concatenate(
+        [first_url.to_numpy()[exact_dup], rep_url.to_numpy()[fp_dup]]
+    )
+    reps = canon.loc[~fp_dup]
+    n_marks, n_reps = len(mark_url), len(reps)
     return pa.table(
         {
-            "url_hash": pa.array(df["url_hash"].tolist(), type=pa.string()),
-            "simhash": pa.array(df["simhash"].tolist(), type=pa.int64()),
-            "rank_key": pa.array(df["rank_key"].tolist(), type=pa.string()),
-            "dup_of": pa.array(
-                [f if d else None for f, d in zip(first.tolist(), is_dup)],
+            "url_hash": pa.array(
+                np.concatenate([mark_url, reps["url_hash"].to_numpy()]),
                 type=pa.string(),
             ),
-            "similarity": pa.array(
-                [100 if d else None for d in is_dup], type=pa.int32()
+            "dup_of": pa.array(
+                list(mark_of) + [None] * n_reps, type=pa.string()
             ),
+            "similarity": pa.array(
+                [100] * n_marks + [None] * n_reps, type=pa.int32()
+            ),
+            "simhash": pa.array(
+                np.concatenate(
+                    [np.zeros(n_marks, dtype=np.int64),
+                     reps["simhash"].to_numpy(dtype=np.int64)]
+                )
+            ),
+            "rank_key": pa.array(
+                [""] * n_marks + list(reps["rank_key"]), type=pa.string()
+            ),
+            "is_rep": pa.array([False] * n_marks + [True] * n_reps),
         }
     )
 
@@ -123,150 +163,153 @@ def _best_match_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
-N_DEDUP_BUCKETS = 32
+def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return pd.DataFrame({"band": [], "val": [], "bucket": [],
+                             "url_hash": [], "simhash": [], "rank_key": []})
+    fps = from_signed(df["simhash"].to_numpy(dtype=np.int64))
+    bk = band_keys(fps, N_BANDS)
+    n = len(df)
+    band = np.repeat(np.arange(N_BANDS), n)
+    val = bk.T.reshape(-1).astype(np.int64)
+    composite = (val << 2) | band
+    return pd.DataFrame(
+        {
+            "band": band,
+            "val": val,
+            "bucket": bucket_ids(composite, N_DEDUP_BUCKETS),
+            "url_hash": np.tile(df["url_hash"].to_numpy(), N_BANDS),
+            "simhash": np.tile(df["simhash"].to_numpy(), N_BANDS),
+            "rank_key": np.tile(df["rank_key"].to_numpy(), N_BANDS),
+        }
+    )
 
 
-def mark_duplicates(pages: "rd.Dataset") -> "rd.Dataset":
-    """Append is_duplicate / duplicate_of / similarity_score to pages."""
+def _col_bucket(t: pa.Table, col: str) -> pa.Table:
+    b = bucket_ids(t[col].to_numpy(zero_copy_only=False), N_DEDUP_BUCKETS)
+    return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+
+def compute_marks(pages: "rd.Dataset") -> "rd.Dataset":
+    """Duplicate marks as a Dataset (url_hash, dup_of, similarity) — one
+    row per duplicate page, nothing on the driver."""
     narrow = pages.select_columns(
         ["url_hash", "content_hash", "simhash", "round", "score"]
     ).map_batches(_rank_key_col, batch_format="pyarrow")
 
-    def _hash_bucket(t: pa.Table, col: str) -> pa.Table:
-        import hashlib as _hl
-
-        b = [
-            int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % N_DEDUP_BUCKETS
-            for v in t[col].to_pylist()
-        ]
+    def _sim_bucket(t: pa.Table) -> pa.Table:
+        fp = from_signed(np.asarray(t["simhash"].to_pylist(), dtype=np.int64))
+        b = (fp % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
         return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
-    by_hash = (
-        narrow.map_batches(lambda t: _hash_bucket(t, "content_hash"),
-                           batch_format="pyarrow")
+    fused = (
+        narrow.map_batches(_sim_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_exact_bucket, batch_format="pandas")
+        .map_groups(_fused_bucket, batch_format="pandas")
         .materialize()
     )
-    exact_marks = {
-        r["url_hash"]: (r["dup_of"], 100)
-        for r in by_hash.take_all()
-        if r["dup_of"] is not None
-    }
-
-    canon = by_hash.map_batches(
-        lambda t: t.filter(pa.compute.is_null(t["dup_of"])).select(
-            ["url_hash", "simhash", "rank_key"]
+    exact_marks = fused.map_batches(
+        lambda t: t.filter(pc.invert(t["is_rep"])).select(
+            ["url_hash", "dup_of", "similarity"]
         ),
         batch_format="pyarrow",
     )
-
-    # ---- exact-fingerprint fast path -----------------------------------
-    # Pages sharing a full 64-bit fingerprint are at Hamming distance 0, so
-    # the reference's best-match rule (min distance, then earliest) makes
-    # every later member a duplicate of the group's earliest page — no
-    # banding needed, and the LSH stage then runs over DISTINCT fingerprints
-    # only.  This collapses pathological clusters (K same-fp pages would
-    # otherwise produce K^2 band candidates) with identical semantics.
-    def _fp_group_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["simhash", "rank_key"], kind="mergesort")
-        first_hash = df.groupby("simhash", sort=False)["url_hash"].transform("first")
-        first_rank = df.groupby("simhash", sort=False)["rank_key"].transform("first")
-        is_member = df["url_hash"].to_numpy() != first_hash.to_numpy()
-        return pa.table(
-            {
-                "url_hash": pa.array(df["url_hash"].tolist(), type=pa.string()),
-                "simhash": pa.array(df["simhash"].tolist(), type=pa.int64()),
-                "rank_key": pa.array(df["rank_key"].tolist(), type=pa.string()),
-                "rep_hash": pa.array(first_hash.tolist(), type=pa.string()),
-                "rep_rank": pa.array(first_rank.tolist(), type=pa.string()),
-                "is_member": pa.array(is_member),
-            }
-        )
-
-    def _fp_bucketize(t: pa.Table) -> pa.Table:
-        b = [int(v) % N_DEDUP_BUCKETS for v in
-             from_signed(np.asarray(t["simhash"].to_pylist(), dtype=np.int64))]
-        return t.append_column("bucket", pa.array(b, type=pa.int64()))
-
-    fp_grouped = (
-        canon.map_batches(_fp_bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_fp_group_bucket, batch_format="pandas")
-        .materialize()
-    )
-    samefp_marks = {
-        r["url_hash"]: (r["rep_hash"], 100)
-        for r in fp_grouped.take_all()
-        if r["is_member"]
-    }
-    canon = fp_grouped.map_batches(
-        lambda t: t.filter(pa.compute.invert(t["is_member"])).select(
-            ["url_hash", "simhash", "rank_key"]
-        ),
+    reps = fused.map_batches(
+        lambda t: t.filter(t["is_rep"]).select(["url_hash", "simhash", "rank_key"]),
         batch_format="pyarrow",
     )
-
-    def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-        import hashlib as _hl
-
-        if df.empty:
-            return pd.DataFrame({"band": [], "val": [], "bucket": [],
-                                 "url_hash": [], "simhash": [], "rank_key": []})
-        fps = from_signed(df["simhash"].to_numpy(dtype=np.int64))
-        bk = band_keys(fps, N_BANDS)
-        n = len(df)
-        band = np.repeat(np.arange(N_BANDS), n)
-        val = bk.T.reshape(-1).astype(np.int64)
-        bucket = [
-            int(_hl.md5(f"{b}:{v}".encode()).hexdigest()[:8], 16) % N_DEDUP_BUCKETS
-            for b, v in zip(band, val)
-        ]
-        return pd.DataFrame(
-            {
-                "band": band,
-                "val": val,
-                "bucket": bucket,
-                "url_hash": np.tile(df["url_hash"].to_numpy(), N_BANDS),
-                "simhash": np.tile(df["simhash"].to_numpy(), N_BANDS),
-                "rank_key": np.tile(df["rank_key"].to_numpy(), N_BANDS),
-            }
-        )
 
     fuzzy_best = (
-        canon.map_batches(_explode_bands, batch_format="pandas")
+        reps.map_batches(_explode_bands, batch_format="pandas")
         .groupby("bucket")
         .map_groups(_band_pairs_bucket, batch_format="pandas")
         # same pair may surface from several bands; min-per-url_hash is
         # idempotent over those duplicates, so no pre-dedup pass is needed
-        .map_batches(lambda t: _hash_bucket(t, "url_hash"), batch_format="pyarrow")
+        .map_batches(lambda t: _col_bucket(t, "url_hash"), batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_best_match_bucket, batch_format="pandas")
-        .materialize()
     )
-    fuzzy_marks = {
-        r["url_hash"]: (r["dup_of"], r["similarity"]) for r in fuzzy_best.take_all()
-    }
+    # mark sets are disjoint: fuzzy marks only hit fp-representatives,
+    # which by construction are never exact / same-fp duplicates
+    return exact_marks.union(fuzzy_best).materialize()
 
-    marks = {**fuzzy_marks, **samefp_marks, **exact_marks}  # exact wins if both
-    marks_ref = ray.put(marks)
+
+def _stamp_broadcast(pages: "rd.Dataset", marks: "rd.Dataset") -> "rd.Dataset":
+    rows = marks.take_all()
+    m_of = {r["url_hash"]: r["dup_of"] for r in rows}
+    m_sim = {r["url_hash"]: r["similarity"] for r in rows}
+    ref = ray.put((m_of, m_sim))
 
     def _stamp(t: pa.Table) -> pa.Table:
-        m = ray.get(marks_ref)
-        hashes = t["url_hash"].to_pylist()
-        hits = [m.get(h) for h in hashes]
+        of_map, sim_map = ray.get(ref)
+        h = t["url_hash"].to_pandas()
+        dup_of = h.map(of_map)
+        sim = h.map(sim_map)
         return (
-            t.append_column(
-                "is_duplicate", pa.array([h is not None for h in hits], type=pa.bool_())
+            t.append_column("is_duplicate", pa.array(dup_of.notna().to_numpy()))
+            .append_column(
+                "duplicate_of", pa.array(dup_of, type=pa.string(), from_pandas=True)
             )
             .append_column(
-                "duplicate_of",
-                pa.array([h[0] if h else None for h in hits], type=pa.string()),
-            )
-            .append_column(
-                "similarity_score",
-                pa.array([h[1] if h else None for h in hits], type=pa.int32()),
+                "similarity_score", pa.array(sim, type=pa.int32(), from_pandas=True)
             )
         )
 
     return pages.map_batches(_stamp, batch_format="pyarrow")
+
+
+def _stamp_join(
+    pages: "rd.Dataset", marks: "rd.Dataset", n_buckets: int = 64
+) -> "rd.Dataset":
+    """Distributed left-join stamp for unbounded mark sets: bucket both
+    sides on url_hash, co-group, and attach marks inside the bucket.  The
+    wide page payload (span structs) stays Arrow through pack -> shuffle ->
+    struct_field unpack; only url_hash keys touch numpy."""
+    from crawler_ray.stages.join import _pack, _with_bucket
+
+    page_cols = pages.schema().names
+    lt = _with_bucket(pages, "url_hash", "l", n_buckets)
+    rt = _with_bucket(marks, "url_hash", "r", n_buckets)
+    both = lt.map_batches(_pack, batch_format="pyarrow").union(
+        rt.map_batches(_pack, batch_format="pyarrow")
+    )
+
+    def stamp_bucket(t: pa.Table) -> pa.Table:
+        rows = t["__row"].combine_chunks()
+        is_l = pc.equal(t["__side"], "l").combine_chunks()
+        lrows = rows.filter(is_l)
+        rrows = rows.filter(pc.invert(is_l))
+        left = pa.table({c: pc.struct_field(lrows, c) for c in page_cols})
+        if len(left) == 0:
+            return left.append_column(
+                "is_duplicate", pa.array([], type=pa.bool_())
+            ).append_column(
+                "duplicate_of", pa.array([], type=pa.string())
+            ).append_column("similarity_score", pa.array([], type=pa.int32()))
+        rkeys = pc.struct_field(rrows, "url_hash").to_numpy(zero_copy_only=False)
+        lkeys = left["url_hash"].to_numpy(zero_copy_only=False)
+        pos = pd.Series(np.arange(len(rkeys)), index=rkeys).reindex(lkeys)
+        idx_f = pos.to_numpy(dtype=np.float64)
+        miss = np.isnan(idx_f)
+        indices = pa.array(
+            np.where(miss, 0, idx_f).astype(np.int64), mask=miss
+        )
+        dup_of = pc.take(pc.struct_field(rrows, "dup_of"), indices)
+        sim = pc.take(pc.struct_field(rrows, "similarity"), indices)
+        return (
+            left.append_column("is_duplicate", pa.array(~miss))
+            .append_column("duplicate_of", dup_of.cast(pa.string()))
+            .append_column("similarity_score", sim.cast(pa.int32()))
+        )
+
+    return both.groupby("__bucket").map_groups(stamp_bucket, batch_format="pyarrow")
+
+
+def mark_duplicates(
+    pages: "rd.Dataset", broadcast_limit: int = BROADCAST_MARK_LIMIT
+) -> "rd.Dataset":
+    """Append is_duplicate / duplicate_of / similarity_score to pages."""
+    marks = compute_marks(pages)
+    if marks.count() <= broadcast_limit:
+        return _stamp_broadcast(pages, marks)
+    return _stamp_join(pages, marks)

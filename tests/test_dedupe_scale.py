@@ -1,0 +1,96 @@
+"""Scale-path checks for duplicate marking: the distributed stamp join must
+produce byte-identical results to the broadcast stamp on a corpus that is
+mostly duplicates (the boilerplate-heavy-crawl regime where a driver-side
+mark dict would be unbounded)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from crawler_ray.stages.dedupe import compute_marks, mark_duplicates
+
+
+def _mostly_dup_pages(n: int = 2000, dup_frac: float = 0.6, seed: int = 7):
+    """Synthetic pages table: `dup_frac` of rows share one of a few content
+    hashes (exact dups), a band of near-identical simhashes exercises the
+    fuzzy path, plus a list<struct> span column to prove Arrow payload
+    fidelity through the join-path shuffle."""
+    rng = np.random.default_rng(seed)
+    url_hash = np.array([f"u{i:06d}" for i in range(n)], dtype=object)
+    is_dup = rng.random(n) < dup_frac
+    content = np.where(
+        is_dup, rng.integers(0, 5, n).astype(str), np.arange(n).astype(str)
+    )
+    content_hash = np.array([f"c{v}" for v in content], dtype=object)
+    base = np.int64(0x1234_5678_9ABC_DEF0)
+    simhash = np.where(
+        is_dup, base, base ^ (np.int64(1) << rng.integers(0, 64, n))
+    ).astype(np.int64)
+    spans = [
+        [{"kind": "text", "text": f"t{i}", "media_ref": None, "offset": 0}]
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "url_hash": pa.array(url_hash, type=pa.string()),
+            "content_hash": pa.array(content_hash, type=pa.string()),
+            "simhash": pa.array(simhash),
+            "round": pa.array(np.zeros(n, dtype=np.int32)),
+            "score": pa.array(np.arange(n, dtype=np.int64)),
+            "spans": pa.array(
+                spans,
+                type=pa.list_(
+                    pa.struct(
+                        [
+                            ("kind", pa.string()),
+                            ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        }
+    )
+    return t, float(is_dup.mean())
+
+
+def _collect(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    df["spans"] = df["spans"].map(
+        lambda s: tuple((d["kind"], d["text"], d["offset"]) for d in s)
+    )
+    return df.sort_values("url_hash").reset_index(drop=True)
+
+
+def test_join_stamp_matches_broadcast_on_mostly_dup_corpus(ray_session):
+    t, frac = _mostly_dup_pages()
+    assert frac >= 0.5  # the regime the broadcast path cannot survive
+    pages = rd.from_arrow(t)
+
+    via_broadcast = _collect(mark_duplicates(pages, broadcast_limit=10**9))
+    via_join = _collect(mark_duplicates(pages, broadcast_limit=0))
+
+    pd.testing.assert_frame_equal(via_broadcast, via_join, check_like=True)
+    # mostly-dup corpus really did produce an unbounded-class mark set
+    assert via_broadcast["is_duplicate"].mean() >= 0.5
+
+
+def test_marks_dataset_has_one_row_per_duplicate(ray_session):
+    t, _ = _mostly_dup_pages(n=500)
+    pages = rd.from_arrow(t)
+    marks = compute_marks(pages).to_pandas()
+    stamped = mark_duplicates(pages).to_pandas()
+    assert len(marks) == int(stamped["is_duplicate"].sum())
+    assert marks["url_hash"].is_unique
+    # every mark's target exists, and fuzzy marks always point at a
+    # DISTINCT-content page (reference semantics: the target must be an
+    # earlier distinct-content page, though it may itself be a fuzzy dup
+    # of an even-earlier page)
+    targets = set(marks["dup_of"])
+    assert targets <= set(stamped["url_hash"])
+    content_dups = set(marks.loc[marks["similarity"] == 100, "url_hash"])
+    fuzzy_targets = set(marks.loc[marks["similarity"] < 100, "dup_of"])
+    assert not fuzzy_targets & content_dups
