@@ -671,29 +671,35 @@ FROM (SELECT md5(text) AS h, COUNT(*) AS occurrence_count
 def q_doc_source_stats(sf_dir: str):
     """Per-source stats incl. duplicate counts (reference A4 page stats per
     website, /root/reference/sql/queries/crawled_page.sql:110-118).
-    Canonical-id map (distinct hash -> min doc_id) is built distributed,
-    then broadcast for the marking pass (small side: one entry per distinct
-    content)."""
-    canon_rows = (
-        q_doc_exact_dedup(sf_dir)
-        # arrow blocks before take_all (pandas-block row conversion is slow)
-        .map_batches(
-            lambda df: pa.Table.from_pandas(df, preserve_index=False),
-            batch_format="pandas",
-        )
-        .take_all()
-    )
-    canon = {r["content_hash"]: r["first_doc_id"] for r in canon_rows}
-    ref = ray.put(canon)
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    Fully distributed: ONE shuffle keyed by hash-bucketed content_hash
+    (a content group lives wholly in its bucket, so canonical = min doc_id
+    and dup flags are decided inside the bucket), then per-source partials
+    to a tiny final groupby — no driver-side canonical map at any scale."""
+    from crawler_ray.stages.join import bucket_ids
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(ref)
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    n_buckets = 64
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
         ch = df["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
-        is_dup = df["doc_id"].to_numpy() != ch.map(c).to_numpy()
+        return pd.DataFrame(
+            {
+                "content_hash": ch,
+                "doc_id": df["doc_id"],
+                "source": df["source"],
+                "n_chars": df["n_chars"],
+                "bucket": bucket_ids(ch.to_numpy(), n_buckets),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("content_hash", sort=False)["doc_id"].transform("min")
         g = pd.DataFrame(
-            {"source": df["source"], "dup": is_dup.astype(np.int64),
-             "n_chars": df["n_chars"]}
+            {
+                "source": df["source"],
+                "dup": (df["doc_id"].to_numpy() != first.to_numpy()).astype(np.int64),
+                "n_chars": df["n_chars"],
+            }
         )
         return (
             g.groupby("source", sort=False)
@@ -703,7 +709,9 @@ def q_doc_source_stats(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("source")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("n_duplicates", alias_name="n_duplicates"),
@@ -824,9 +832,9 @@ WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.5
 """
 
 
-def _doc_shingle_sets(sf_dir: str) -> dict[int, frozenset]:
-    """doc_id -> distinct shingle set, computed distributed then collected
-    (one entry per doc; the collected object backs broadcast verification)."""
+def _doc_shingles_ds(sf_dir: str) -> "rd.Dataset":
+    """(doc_id, shingles list<string>) Dataset — the distributed shingle-set
+    side for join-based candidate verification (never collected)."""
     from crawler_ray.functions.text import shingles_of, tokens_of
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -844,10 +852,7 @@ def _doc_shingle_sets(sf_dir: str) -> dict[int, frozenset]:
             }
         )
 
-    out = {}
-    for row in ds.map_batches(per_batch, batch_format="pandas").take_all():
-        out[row["doc_id"]] = frozenset(row["shingles"])
-    return out
+    return ds.map_batches(per_batch, batch_format="pandas")
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
@@ -916,12 +921,14 @@ def q_doc_minhash_pairs(sf_dir: str):
     """MinHash + LSH near-dup join (shingle -> 96-perm signature -> 48x2
     band buckets -> candidate pairs -> EXACT Jaccard verify).  Verified
     candidates make band recall the only error source (P(miss) ~ 1e-6 per
-    true pair at j=0.5), so the exact-Jaccard oracle applies."""
-    from crawler_ray.functions.text import (
-        MinHasher, hash_shingles, jaccard, shingles_of, tokens_of,
-    )
+    true pair at j=0.5), so the exact-Jaccard oracle applies.  Verification
+    is DISTRIBUTED: candidate pairs hash-join back to the (doc_id,
+    shingles) dataset (a_doc_id side, then b_doc_id side), so only
+    candidate docs' shingle sets ever co-locate — no whole-corpus driver
+    map at any scale."""
+    from crawler_ray.functions.text import MinHasher, hash_shingles, shingles_of, tokens_of
+    from crawler_ray.stages.join import hash_join
 
-    shingle_ref = ray.put(_doc_shingle_sets(sf_dir))
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     N_BUCKETS = 64
@@ -947,10 +954,11 @@ def q_doc_minhash_pairs(sf_dir: str):
         return out.rename(columns={"doc_id_a": "a_doc_id", "doc_id_b": "b_doc_id"})
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sets = ray.get(shingle_ref)
         out = []
-        for a, b in zip(df["a_doc_id"], df["b_doc_id"]):
-            sa, sb = sets[int(a)], sets[int(b)]
+        for a, b, sa, sb in zip(
+            df["a_doc_id"], df["b_doc_id"], df["shingles_a"], df["shingles"]
+        ):
+            sa, sb = set(sa), set(sb)
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             if union and inter / union >= JACCARD_THRESHOLD:
@@ -964,14 +972,22 @@ def q_doc_minhash_pairs(sf_dir: str):
             }
         )
 
-    return (
+    candidates = (
         ds.map_batches(bands, batch_format="pandas")
         .groupby("bucket")
         .map_groups(candidates_in_bucket, batch_format="pandas")
         .groupby(["a_doc_id", "b_doc_id"])  # dedup candidates across buckets
         .aggregate(Count(alias_name="n_bands"))
-        .map_batches(verify, batch_format="pandas", batch_size=4096)
     )
+    shingles = _doc_shingles_ds(sf_dir)
+    with_a = hash_join(candidates, shingles, "a_doc_id", "doc_id").map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "shingles" else "shingles_a" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = hash_join(with_a, shingles, "b_doc_id", "doc_id")
+    return with_both.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
 def q_doc_simhash_bands(sf_dir: str):

@@ -23,7 +23,7 @@ All per-row work is vectorized: bucket ids come from
 ``pd.util.hash_array`` (deterministic siphash with pandas' fixed default
 key, so every worker process computes the same bucket for the same value),
 and the packed ``__row`` struct column is unpacked with Arrow
-``StructArray.flatten()`` — no Python-object row materialization.
+``struct_field`` by name — no Python-object row materialization.
 """
 
 from __future__ import annotations
@@ -85,6 +85,20 @@ def _unpack_side(t: pa.Table, side: str, cols: list[str]) -> pd.DataFrame:
     return pa.table({c: pc.struct_field(rows, c) for c in cols}).to_pandas()
 
 
+def _listify(df: pd.DataFrame) -> pd.DataFrame:
+    """Arrow list columns arrive in pandas as numpy-array cells, which the
+    Arrow block builder cannot convert back — rewrap them as Python lists
+    (touches only list-typed columns, key/scalar columns stay vectorized)."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            idx = df[c].first_valid_index()
+            if idx is not None and isinstance(df[c].loc[idx], np.ndarray):
+                df[c] = df[c].map(
+                    lambda v: v.tolist() if isinstance(v, np.ndarray) else v
+                )
+    return df
+
+
 def hash_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
@@ -115,7 +129,7 @@ def hash_join(
         )
         if right_key != left_key and right_key in merged.columns:
             merged = merged.drop(columns=[right_key])
-        return merged
+        return _listify(merged)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -155,6 +169,6 @@ def asof_join(
             left_by=lk, right_by=rk, direction="backward",
             suffixes=("", "__r"),
         )
-        return merged[merged[rt_col].notna()]
+        return _listify(merged[merged[rt_col].notna()])
 
     return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
