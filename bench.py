@@ -109,7 +109,7 @@ def run_bench() -> dict:
     pages = result.pages.materialize()
     n_pages = pages.count()
     crawl_sec = time.monotonic() - t0
-    n_urls = len(result.seen)
+    n_urls = result.seen_count
 
     queries_sec = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):

@@ -104,6 +104,10 @@ class CrawlResult:
     seen: set[str]               # final URL-seen set (url_hash)
     dlq_rows: list[dict]
     metrics: list[dict] = field(default_factory=list)
+    # always populated (O(1) driver memory); `order`/`seen` above are only
+    # populated in record_history (conformance) mode — the default path
+    # streams both to the per-round checkpoint files instead
+    seen_count: int = 0
 
 
 class CrawlEngine:
@@ -122,6 +126,7 @@ class CrawlEngine:
         requests_per_second: float | None = None,
         frontier_blocks: int = 8,
         net_latency_sec: float = 0.0,
+        record_history: bool = False,
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -134,6 +139,11 @@ class CrawlEngine:
         self.requests_per_second = requests_per_second
         self.net_latency_sec = net_latency_sec
         self.frontier_blocks = frontier_blocks
+        # Conformance mode: accumulate full crawl order + seen log on the
+        # driver for golden-equality checks.  Default (False) keeps driver
+        # state O(budget x hosts) per round; order/seen deltas stream to the
+        # per-round checkpoint files (order.json / seen_delta.json) instead.
+        self.record_history = record_history
         self.debug_timing = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
         try:
             import ray
@@ -202,11 +212,16 @@ class CrawlEngine:
         frontier_ds = rd.from_arrow(
             frontier if frontier is not None else self._seed_frontier()
         )
-        order: list[tuple[int, str, str]] = list(prior_order or [])
+        order: list[tuple[int, str, str]] = (
+            list(prior_order or []) if self.record_history else []
+        )
         metrics: list[dict] = list(prior_metrics or [])
         dlq_rows: list[dict] = []
         page_parts: list[rd.Dataset] = list(prior_pages or [])
-        seen_log: list[str] = list(prior_seen or [])
+        seen_log: list[str] = (
+            list(prior_seen or []) if self.record_history else []
+        )
+        seen_count = len(prior_seen or [])
         if self.checkpoint_dir:
             os.makedirs(self.checkpoint_dir, exist_ok=True)
 
@@ -261,7 +276,8 @@ class CrawlEngine:
                 .sort_values(["score", "url_hash"], kind="mergesort")
             )
             sel_rows = sel_df.to_dict("records")
-            order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
+            if self.record_history:
+                order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
             sel_hashes = frozenset(d["url_hash"] for d in sel_rows)
             selected_tbl = pa.Table.from_pandas(
                 sel_df, preserve_index=False
@@ -463,7 +479,9 @@ class CrawlEngine:
                 }
             )
             seen_delta = self.seen.drain_new()
-            seen_log.extend(seen_delta)
+            seen_count += len(seen_delta)
+            if self.record_history:
+                seen_log.extend(seen_delta)
             if self.checkpoint_dir:
                 self._write_round_outputs(r, pages_round, sel_rows, seen_delta, metrics[-1])
             r += 1
@@ -503,6 +521,7 @@ class CrawlEngine:
             seen=set(seen_log),
             dlq_rows=dlq_rows,
             metrics=metrics,
+            seen_count=seen_count,
         )
 
     # ------------------------------------------------------------ checkpoint

@@ -91,8 +91,8 @@ def main(argv: list[str] | None = None) -> int:
         marked = mark_duplicates(result.pages)
         marked.write_parquet(os.path.join(args.output, "documents"))
         summary.update(
-            pages=len(result.order),
-            urls_seen=len(result.seen),
+            pages=sum(m["selected"] for m in result.metrics),
+            urls_seen=result.seen_count,
             rounds=len(result.metrics),
             dead_letters=len(result.dlq_rows),
             metrics=result.metrics,

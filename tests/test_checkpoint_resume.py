@@ -24,7 +24,7 @@ def _run_full(ckpt_dir=None):
 
     return CrawlEngine(
         WEB, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
-        checkpoint_dir=ckpt_dir,
+        checkpoint_dir=ckpt_dir, record_history=True,
     ).run()
 
 
@@ -50,12 +50,13 @@ def test_resume_after_partial_run(ray_session, ckpt_dir, tmp_path):
     # run only the first 3 rounds (simulated kill), then resume
     partial = CrawlEngine(
         WEB, budget_per_host=BUDGET, max_rounds=3, seen_shards=2,
-        checkpoint_dir=ckpt_dir,
+        checkpoint_dir=ckpt_dir, record_history=True,
     ).run()
     assert len(partial.metrics) == 3
 
     resumed = CrawlEngine.resume(
-        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
     )
     assert [(r, h) for r, h, _ in resumed.order] == [
         (r, h) for r, h, _ in baseline.order
@@ -81,7 +82,8 @@ def test_resume_with_incomplete_last_round(ray_session, ckpt_dir):
             if os.path.exists(m):
                 os.remove(m)
     resumed = CrawlEngine.resume(
-        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
     )
     assert resumed.seen == baseline.seen
     assert [(r, h) for r, h, _ in resumed.order] == [
@@ -98,7 +100,8 @@ def test_resume_with_incomplete_last_round(ray_session, ckpt_dir):
             if os.path.exists(m):
                 os.remove(m)
     resumed2 = CrawlEngine.resume(
-        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
     )
     assert resumed2.pages.count() == baseline.pages.count()
     assert resumed2.seen == baseline.seen

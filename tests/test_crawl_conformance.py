@@ -29,7 +29,7 @@ def golden():
 def ray_crawl(ray_session):
     from crawler_ray.pipelines.crawl import CrawlEngine
 
-    engine = CrawlEngine(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS, seen_shards=2)
+    engine = CrawlEngine(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS, seen_shards=2, record_history=True)
     return engine.run()
 
 
@@ -101,7 +101,7 @@ def test_conformance_other_configs(ray_session, web, budget):
     from crawler_ray.pipelines.crawl import CrawlEngine
 
     g = golden_crawl(web, budget_per_host=budget, max_rounds=60)
-    res = CrawlEngine(web, budget_per_host=budget, max_rounds=60, seen_shards=3).run()
+    res = CrawlEngine(web, budget_per_host=budget, max_rounds=60, seen_shards=3, record_history=True).run()
     assert [(r, h) for r, h, _ in g.order] == [(r, h) for r, h, _ in res.order]
     assert g.seen == res.seen
 
@@ -116,7 +116,7 @@ def test_rate_limited_actor_pool_mode(golden, ray_session):
     g = golden_crawl(small, budget_per_host=4, max_rounds=20)
     engine = CrawlEngine(
         small, budget_per_host=4, max_rounds=20, seen_shards=2,
-        requests_per_second=50.0, fetch_concurrency=2,
+        requests_per_second=50.0, fetch_concurrency=2, record_history=True,
     )
     res = engine.run()
     assert [(r, h) for r, h, _ in g.order] == [(r, h) for r, h, _ in res.order]
@@ -129,3 +129,18 @@ def test_retries_recorded(golden, ray_crawl):
 
     counts = Counter(h for _, h, _ in ray_crawl.order)
     assert any(c > 1 for c in counts.values())
+
+
+def test_default_mode_keeps_driver_state_bounded(ray_session, golden):
+    """Without record_history, the engine must not accumulate the crawl
+    order or seen log on the driver (O(all-URLs-ever) state), while still
+    reporting an exact seen_count."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    res = CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=ROUNDS, seen_shards=2
+    ).run()
+    assert res.order == []
+    assert res.seen == set()
+    assert res.seen_count == len(golden.seen)
+    assert res.pages.count() == sum(m["pages_ok"] for m in res.metrics)
