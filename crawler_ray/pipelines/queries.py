@@ -19,6 +19,7 @@ Reference operator parity is cited per query (SURVEY.md §2 row ids).
 
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 import re
 
@@ -813,6 +814,9 @@ FROM (
 # ============================================================ near-dup joins
 JACCARD_THRESHOLD = 0.5
 SHINGLE_K = 3
+# candidate-pair count above which minhash verification switches from the
+# candidate-only shingle broadcast to the distributed attach joins
+MINHASH_BROADCAST_CANDIDATES = 100_000
 
 SQL_JACCARD_PAIRS = """
 WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
@@ -839,10 +843,10 @@ def _doc_shingles_ds(sf_dir: str) -> "rd.Dataset":
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def per_batch(df: pd.DataFrame) -> pa.Table:
+    def per_batch(bt: pa.Table) -> pa.Table:
         rows = [
             (int(d), sorted(shingles_of(tokens_of(t), SHINGLE_K)))
-            for d, t in zip(df["doc_id"], df["text"])
+            for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist())
         ]
         return pa.table(
             {
@@ -852,7 +856,7 @@ def _doc_shingles_ds(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return ds.map_batches(per_batch, batch_format="pandas")
+    return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
 def q_doc_jaccard_pairs(sf_dir: str):
@@ -922,36 +926,66 @@ def q_doc_minhash_pairs(sf_dir: str):
     band buckets -> candidate pairs -> EXACT Jaccard verify).  Verified
     candidates make band recall the only error source (P(miss) ~ 1e-6 per
     true pair at j=0.5), so the exact-Jaccard oracle applies.  Verification
-    is DISTRIBUTED: candidate pairs hash-join back to the (doc_id,
-    shingles) dataset (a_doc_id side, then b_doc_id side), so only
-    candidate docs' shingle sets ever co-locate — no whole-corpus driver
-    map at any scale."""
+    never holds a whole-corpus map: small candidate sets broadcast ONLY the
+    candidate docs' shingle sets (driver O(candidates)); above
+    MINHASH_BROADCAST_CANDIDATES pairs it switches to fully distributed
+    attach joins of the candidate pairs against the (doc_id, shingles)
+    dataset (a side, then b side), so only candidate docs' shingle sets
+    ever co-locate."""
     from crawler_ray.functions.text import MinHasher, hash_shingles, shingles_of, tokens_of
-    from crawler_ray.stages.join import hash_join
+    from crawler_ray.stages.join import attach_unique
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     N_BUCKETS = 64
 
-    def bands(df: pd.DataFrame) -> pd.DataFrame:
+    def bands(bt: pa.Table) -> pa.Table:
         mh = MinHasher()
         doc_ids, keys = [], []
-        for d, t in zip(df["doc_id"], df["text"]):
+        for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
             sig = mh.signature(hash_shingles(shingles_of(tokens_of(t), SHINGLE_K)))
             for k in mh.band_keys(sig):
                 doc_ids.append(int(d))
                 keys.append(k)
-        out = pd.DataFrame({"band_key": keys, "doc_id": doc_ids})
-        out["bucket"] = out["band_key"].map(
-            lambda s: int(s.split(":")[1][:8], 16) % N_BUCKETS
+        buckets = [int(k.split(":")[1][:8], 16) % N_BUCKETS for k in keys]
+        return pa.table(
+            {
+                "band_key": pa.array(keys, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
         )
-        return out
 
-    def candidates_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def candidates_in_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
-        return out.rename(columns={"doc_id_a": "a_doc_id", "doc_id_b": "b_doc_id"})
+        return pa.table(
+            {
+                "a_doc_id": pa.array(out["doc_id_a"].to_numpy(dtype=np.int64)),
+                "b_doc_id": pa.array(out["doc_id_b"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        # co-locate identical pairs (found by several bands) in one bucket
+        a = t["a_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        from crawler_ray.stages.join import bucket_ids
+
+        return t.append_column(
+            "pbucket", pa.array(bucket_ids(a * 2_000_003 + b, N_BUCKETS))
+        )
+
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["a_doc_id", "b_doc_id"])
+        return pa.table(
+            {
+                "a_doc_id": pa.array(df["a_doc_id"].to_numpy(dtype=np.int64)),
+                "b_doc_id": pa.array(df["b_doc_id"].to_numpy(dtype=np.int64)),
+            }
+        )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -972,29 +1006,74 @@ def q_doc_minhash_pairs(sf_dir: str):
             }
         )
 
+    # dedup across band buckets with a bucketed vectorized drop_duplicates:
+    # Ray's row-based groupby([a,b]).aggregate(Count) costs ~400 ms/task of
+    # Python per partition (26 s of the old 28 s wall at sf0.1); two sorts
+    # of the narrow pair table cost ~2 s instead
     candidates = (
-        ds.map_batches(bands, batch_format="pandas")
+        ds.map_batches(bands, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(candidates_in_bucket, batch_format="pandas")
-        .groupby(["a_doc_id", "b_doc_id"])  # dedup candidates across buckets
-        .aggregate(Count(alias_name="n_bands"))
+        .map_groups(candidates_in_bucket, batch_format="pyarrow")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+    candidates = candidates.materialize()
+    n_cands = candidates.count()
     shingles = _doc_shingles_ds(sf_dir)
-    with_a = hash_join(candidates, shingles, "a_doc_id", "doc_id").map_batches(
+
+    if n_cands <= MINHASH_BROADCAST_CANDIDATES:
+        # small candidate set: broadcast the CANDIDATE docs' shingle sets
+        # only (driver memory O(candidates), never O(corpus)) and verify
+        # map-side — saves the two attach shuffles
+        cand_ids = set()
+        for r in candidates.take_all():
+            cand_ids.add(r["a_doc_id"])
+            cand_ids.add(r["b_doc_id"])
+        idref = ray.put(cand_ids)
+
+        def only_cands(t: pa.Table) -> pa.Table:
+            ids = ray.get(idref)
+            mask = [d in ids for d in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+        sets = {
+            r["doc_id"]: frozenset(r["shingles"])
+            for r in shingles.map_batches(only_cands, batch_format="pyarrow").take_all()
+        }
+        sref = ray.put(sets)
+
+        def verify_bc(t: pa.Table) -> pd.DataFrame:
+            s = ray.get(sref)
+            df = pd.DataFrame(
+                {"a_doc_id": t["a_doc_id"].to_pylist(),
+                 "b_doc_id": t["b_doc_id"].to_pylist()}
+            )
+            df["shingles_a"] = df["a_doc_id"].map(s)
+            df["shingles"] = df["b_doc_id"].map(s)
+            return verify(df)
+
+        return candidates.map_batches(verify_bc, batch_format="pyarrow")
+
+    with_a = attach_unique(
+        candidates, shingles, "a_doc_id", "doc_id", how="inner"
+    ).map_batches(
         lambda t: t.rename_columns(
             [c if c != "shingles" else "shingles_a" for c in t.column_names]
         ),
         batch_format="pyarrow",
     )
-    with_both = hash_join(with_a, shingles, "b_doc_id", "doc_id")
+    with_both = attach_unique(with_a, shingles, "b_doc_id", "doc_id", how="inner")
     return with_both.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
 def q_doc_simhash_bands(sf_dir: str):
     """Simhash fingerprints + LSH band keys per doc (reference M6 map,
-    /root/reference/crawler/utils/simhash.py:104-146).  Not SQL-expressible
-    (MD5-bit votes); anchored instead by tests/test_simhash.py conformance
-    vectors and the crawl-pipeline dup-marking conformance test."""
+    /root/reference/crawler/utils/simhash.py:104-146).  The DuckDB oracle
+    recomputes the full Charikar construction in SQL (md5 low-64 per token
+    via hex-parse, 64 bit-vote cross join, vote>0 bit assembly) — an
+    independent sequential implementation, bit-exact vs the vectorized
+    kernel."""
     from crawler_ray.functions.simhash import band_keys, simhash_batch, to_signed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1017,9 +1096,47 @@ def q_doc_simhash_bands(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+
+
+SQL_DOC_SIMHASH_BANDS = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+th AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(tok),17,16)) AS UBIGINT) AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range(64) r(i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << CAST(i AS INTEGER)) ELSE 0 END) AS f
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(fp.f,0) >= (CAST(1 AS HUGEINT) << 63)
+                 THEN COALESCE(fp.f,0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE COALESCE(fp.f,0) END AS BIGINT) AS simhash,
+       CAST((COALESCE(fp.f,0) >> 0)  & 65535 AS BIGINT) AS band0,
+       CAST((COALESCE(fp.f,0) >> 16) & 65535 AS BIGINT) AS band1,
+       CAST((COALESCE(fp.f,0) >> 32) & 65535 AS BIGINT) AS band2,
+       CAST((COALESCE(fp.f,0) >> 48) & 65535 AS BIGINT) AS band3,
+       fp.doc_id IS NOT NULL AS valid
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+
 def q_doc_fingerprints(sf_dir: str):
     """Winnowing-style rolling-hash document fingerprints (text-analysis
-    family; not SQL-expressible — deterministic, covered by unit tests)."""
+    family).  The DuckDB oracle recomputes the rolling polynomial min-hash
+    with list lambdas (md5-low-64 % (2^61-1) per token, list_reduce window
+    fold in HUGEINT) — an independent sequential implementation."""
     from crawler_ray.functions.text import rolling_fingerprint, tokens_of
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1035,6 +1152,30 @@ def q_doc_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fp, batch_format="pandas")
+
+
+
+
+SQL_DOC_FINGERPRINTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(trim(text), '\s+'),
+           t -> CAST(CAST(CONCAT('0x', substr(md5(t),17,16)) AS UBIGINT)
+                     % 2305843009213693951 AS HUGEINT)
+         ) AS hs
+  FROM documents
+),
+w AS (SELECT doc_id, hs, LEAST(len(hs), 8) AS win FROM toks WHERE len(hs) > 0),
+wins AS (
+  SELECT doc_id,
+         list_reduce(hs[i:i+win-1], (a, b) -> (a * 1000003 + b) % 2305843009213693951) AS acc
+  FROM (SELECT doc_id, hs, win, unnest(range(1, len(hs) - win + 2)) AS i FROM w)
+),
+best AS (SELECT doc_id, MIN(acc) AS fingerprint FROM wins GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(b.fingerprint, 0) AS BIGINT) AS fingerprint
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
 
 
 # ============================================================= embeddings
@@ -1255,9 +1396,43 @@ def _sql_url_normalize() -> str:
 
 
 # ============================================================ crawl pipeline
+@_functools.lru_cache(maxsize=1)
+def _sql_crawl_documents() -> str:
+    """Golden-derived VALUES oracle: the sequential golden interpreter
+    (pipelines/golden.py — an INDEPENDENT single-threaded implementation of
+    the crawl spec) runs the same web/budget as q_crawl_documents and its
+    per-page summary is embedded as literals, so the driver's side-by-side
+    compare checks the distributed engine against the sequential spec."""
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+
+    res = golden_crawl(MiniWeb(n_docs=300), budget_per_host=32, max_rounds=48)
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    rows = []
+    for p in res.pages:
+        sim = ("CAST(NULL AS INTEGER)" if p["similarity_score"] is None
+               else str(int(p["similarity_score"])))
+        rows.append(
+            "('{}', '{}', '{}', {}, {}, '{}', '{}', {}, {})".format(
+                p["url_hash"], esc(p["url"]), esc(p["host"]),
+                int(p["round"]), len(p["spans"]), esc(p["title"]),
+                p["content_hash"],
+                "TRUE" if p["is_duplicate"] else "FALSE", sim,
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(doc_id, url, "
+        "host, round, n_spans, title, content_hash, is_duplicate, "
+        "similarity_score)"
+    )
+
+
 def q_crawl_documents(sf_dir: str):
-    """The flagship crawl itself, summarized per fetched page (rows-only:
-    the golden-interpreter conformance suite is its correctness oracle)."""
+    """The flagship crawl itself, summarized per fetched page; oracle =
+    golden-interpreter VALUES (see :func:`_sql_crawl_documents`)."""
     import pyarrow.compute as pc
 
     from crawler_ray.pipelines.crawl import CrawlEngine
@@ -1328,9 +1503,62 @@ def q_event_user_hll(sf_dir: str):
     )
 
 
+@_functools.lru_cache(maxsize=1)
+def _sql_workflow_scrape() -> str:
+    """Sequential VALUES oracle for the crawl->scrape workflow: replays the
+    same steps with direct ``web.fetch`` loops and the pure selector /
+    pagination kernels (no Ray, no WorkflowRunner), so the driver compare
+    checks the distributed orchestration (fetch batching, ordering,
+    first-wins dedup) against a straight-line interpretation."""
+    from urllib.parse import urljoin
+
+    from crawler_ray.functions import html as H
+    from crawler_ray.functions.pagination import detect_pattern
+    from crawler_ray.functions.selectors import extract_fields
+    from crawler_ray.sources.miniweb import MiniWeb
+
+    web = MiniWeb(n_docs=100)
+    seed = web.seeds()[0]
+    urls = [seed]
+    pattern = detect_pattern(seed)
+    if pattern is not None:
+        urls += pattern.pages(seed, max_pages=5)
+
+    ordered, seen = [], set()
+    for url in urls:
+        status, body = web.fetch(url, retry_count=0)
+        if status != 200 or not body:
+            continue
+        spans = H.parse_spans(body)
+        for link, _ in H.extract_links(spans, url):
+            link = urljoin(url, link)
+            if link not in seen:
+                seen.add(link)
+                ordered.append(link)
+
+    selectors = {"title": "title",
+                 "paragraphs": {"selector": "article p", "multiple": True}}
+    rows = []
+    esc = lambda v: v.replace("'", "''")
+    for url in ordered:
+        status, body = web.fetch(url, retry_count=0)
+        if status != 200 or not body:
+            continue
+        fields = extract_fields(body, selectors)
+        title = fields.get("title")
+        tlit = "CAST(NULL AS VARCHAR)" if title is None else f"'{esc(title)}'"
+        rows.append(
+            f"('{esc(url)}', {tlit}, {len(fields.get('paragraphs') or [])})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") AS t(url, title, n_paragraphs)"
+    )
+
+
 def q_workflow_scrape(sf_dir: str):
-    """Declarative crawl->scrape workflow over the mini-web (rows-only:
-    orchestration semantics are covered by tests/test_workflow.py)."""
+    """Declarative crawl->scrape workflow over the mini-web; oracle =
+    sequential replay VALUES (see :func:`_sql_workflow_scrape`)."""
     from crawler_ray.pipelines.workflow import WorkflowRunner
     from crawler_ray.sources.miniweb import miniweb_for_sf
 
@@ -1458,6 +1686,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_similar_pairs": SQL_EMB_PAIRS,
         "emb_label_stats": SQL_EMB_LABEL_STATS,
         "url_normalize": _sql_url_normalize(),
-        # rows-only (non-SQL-expressible): doc_simhash_bands,
-        # doc_fingerprints, crawl_documents
+        "doc_simhash_bands": SQL_DOC_SIMHASH_BANDS,
+        "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "crawl_documents": _sql_crawl_documents(),
+        "workflow_scrape": _sql_workflow_scrape(),
+        # rows-only: crawl_documents / workflow_scrape (golden-interpreter
+        # conformance), knn_ann_* / event_user_hll (approximate by design),
+        # media_decode (codec stub)
     }

@@ -66,7 +66,7 @@ def _rank_key_col(t: pa.Table) -> pa.Table:
     return t.append_column("rank_key", pa.array(rk, type=pa.string()))
 
 
-def _fused_bucket(df: pd.DataFrame) -> pa.Table:
+def _fused_bucket(t: pa.Table) -> pa.Table:
     """One vectorized pass per simhash-hash bucket doing BOTH the exact
     content_hash marking and the distance-0 same-fingerprint marking.
     Bucketing keeps group counts off the Ray shuffle (thousands of tiny
@@ -74,6 +74,7 @@ def _fused_bucket(df: pd.DataFrame) -> pa.Table:
     pandas/numpy.  Emits marks (is_rep=False: url_hash, dup_of, similarity)
     and fingerprint representatives (is_rep=True: url_hash, simhash,
     rank_key) for the downstream LSH stage."""
+    df = t.to_pandas()
     df = df.sort_values(["content_hash", "rank_key"], kind="mergesort")
     first_url = df.groupby("content_hash", sort=False)["url_hash"].transform("first")
     exact_dup = df["url_hash"].to_numpy() != first_url.to_numpy()
@@ -116,9 +117,10 @@ def _fused_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def _band_pairs_bucket(df: pd.DataFrame) -> pa.Table:
+def _band_pairs_bucket(t: pa.Table) -> pa.Table:
     """Per hash-bucket of (band, value) keys: vectorized self-join on the
     band key, then pairwise Hamming verify on the matched pairs only."""
+    df = t.to_pandas()
     empty = pa.table(
         {
             "url_hash": pa.array([], type=pa.string()),
@@ -148,9 +150,10 @@ def _band_pairs_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def _best_match_bucket(df: pd.DataFrame) -> pa.Table:
+def _best_match_bucket(t: pa.Table) -> pa.Table:
     """Per hash-bucket of later-page url_hashes: vectorized min
     (distance, earlier-rank) per url_hash."""
+    df = t.to_pandas()
     df = df.sort_values(["url_hash", "distance", "a_rank"], kind="mergesort")
     first = df.groupby("url_hash", sort=False).head(1)
     sims = np.clip(((1 - first["distance"].to_numpy() / 64) * 100).astype(np.int64), 0, 100)
@@ -163,24 +166,34 @@ def _best_match_bucket(df: pd.DataFrame) -> pa.Table:
     )
 
 
-def _explode_bands(df: pd.DataFrame) -> pd.DataFrame:
-    if df.empty:
-        return pd.DataFrame({"band": [], "val": [], "bucket": [],
-                             "url_hash": [], "simhash": [], "rank_key": []})
-    fps = from_signed(df["simhash"].to_numpy(dtype=np.int64))
+def _explode_bands(t: pa.Table) -> pa.Table:
+    """Arrow in/out (an empty-pandas block anywhere in a lineage poisons
+    every downstream sort into a type-mangling pandas roundtrip)."""
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {"band": pa.array([], type=pa.int64()),
+             "val": pa.array([], type=pa.int64()),
+             "bucket": pa.array([], type=pa.int64()),
+             "url_hash": pa.array([], type=pa.string()),
+             "simhash": pa.array([], type=pa.int64()),
+             "rank_key": pa.array([], type=pa.string())}
+        )
+    simhash = t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fps = from_signed(simhash)
     bk = band_keys(fps, N_BANDS)
-    n = len(df)
     band = np.repeat(np.arange(N_BANDS), n)
     val = bk.T.reshape(-1).astype(np.int64)
     composite = (val << 2) | band
-    return pd.DataFrame(
+    tile_idx = pa.array(np.tile(np.arange(n), N_BANDS))
+    return pa.table(
         {
-            "band": band,
-            "val": val,
-            "bucket": bucket_ids(composite, N_DEDUP_BUCKETS),
-            "url_hash": np.tile(df["url_hash"].to_numpy(), N_BANDS),
-            "simhash": np.tile(df["simhash"].to_numpy(), N_BANDS),
-            "rank_key": np.tile(df["rank_key"].to_numpy(), N_BANDS),
+            "band": pa.array(band, type=pa.int64()),
+            "val": pa.array(val),
+            "bucket": pa.array(bucket_ids(composite, N_DEDUP_BUCKETS)),
+            "url_hash": pc.take(t["url_hash"].combine_chunks(), tile_idx),
+            "simhash": pa.array(np.tile(simhash, N_BANDS)),
+            "rank_key": pc.take(t["rank_key"].combine_chunks(), tile_idx),
         }
     )
 
@@ -190,12 +203,24 @@ def _col_bucket(t: pa.Table, col: str) -> pa.Table:
     return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
 
-def compute_marks(pages: "rd.Dataset") -> "rd.Dataset":
+def compute_marks(pages: "rd.Dataset", shuffle_blocks: int = 64) -> "rd.Dataset":
     """Duplicate marks as a Dataset (url_hash, dup_of, similarity) — one
-    row per duplicate page, nothing on the driver."""
-    narrow = pages.select_columns(
-        ["url_hash", "content_hash", "simhash", "round", "score"]
-    ).map_batches(_rank_key_col, batch_format="pyarrow")
+    row per duplicate page, nothing on the driver.
+
+    ``shuffle_blocks`` coalesces the narrow (5-column) key table before the
+    shuffles: crawl output arrives as hundreds of politeness-sliced
+    micro-blocks per round, and a groupby inherits its input block count as
+    its partition count (576 micro-blocks -> 576 reduce partitions x ~15 ms
+    -> 10x wall blow-up measured at sf0.1).  Repartitioning the narrow side
+    is ~MBs even when the span payload is GBs; size it ~2x cluster cores at
+    scale."""
+    narrow = (
+        pages.select_columns(
+            ["url_hash", "content_hash", "simhash", "round", "score"]
+        )
+        .map_batches(_rank_key_col, batch_format="pyarrow")
+        .repartition(shuffle_blocks)
+    )
 
     def _sim_bucket(t: pa.Table) -> pa.Table:
         fp = from_signed(np.asarray(t["simhash"].to_pylist(), dtype=np.int64))
@@ -205,7 +230,7 @@ def compute_marks(pages: "rd.Dataset") -> "rd.Dataset":
     fused = (
         narrow.map_batches(_sim_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_fused_bucket, batch_format="pandas")
+        .map_groups(_fused_bucket, batch_format="pyarrow")
         .materialize()
     )
     exact_marks = fused.map_batches(
@@ -220,14 +245,14 @@ def compute_marks(pages: "rd.Dataset") -> "rd.Dataset":
     )
 
     fuzzy_best = (
-        reps.map_batches(_explode_bands, batch_format="pandas")
+        reps.map_batches(_explode_bands, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_band_pairs_bucket, batch_format="pandas")
+        .map_groups(_band_pairs_bucket, batch_format="pyarrow")
         # same pair may surface from several bands; min-per-url_hash is
         # idempotent over those duplicates, so no pre-dedup pass is needed
         .map_batches(lambda t: _col_bucket(t, "url_hash"), batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_best_match_bucket, batch_format="pandas")
+        .map_groups(_best_match_bucket, batch_format="pyarrow")
     )
     # mark sets are disjoint: fuzzy marks only hit fp-representatives,
     # which by construction are never exact / same-fp duplicates
@@ -261,48 +286,28 @@ def _stamp_broadcast(pages: "rd.Dataset", marks: "rd.Dataset") -> "rd.Dataset":
 def _stamp_join(
     pages: "rd.Dataset", marks: "rd.Dataset", n_buckets: int = 64
 ) -> "rd.Dataset":
-    """Distributed left-join stamp for unbounded mark sets: bucket both
-    sides on url_hash, co-group, and attach marks inside the bucket.  The
-    wide page payload (span structs) stays Arrow through pack -> shuffle ->
-    struct_field unpack; only url_hash keys touch numpy."""
-    from crawler_ray.stages.join import _pack, _with_bucket
+    """Distributed left-join stamp for unbounded mark sets via
+    :func:`crawler_ray.stages.join.attach_unique`: the wide page payload
+    (span structs) stays Arrow through pack -> shuffle -> take; only
+    url_hash keys touch numpy."""
+    from crawler_ray.stages.join import attach_unique
 
-    page_cols = pages.schema().names
-    lt = _with_bucket(pages, "url_hash", "l", n_buckets)
-    rt = _with_bucket(marks, "url_hash", "r", n_buckets)
-    both = lt.map_batches(_pack, batch_format="pyarrow").union(
-        rt.map_batches(_pack, batch_format="pyarrow")
+    joined = attach_unique(
+        pages, marks, "url_hash", "url_hash", n_buckets=n_buckets, how="left"
     )
 
-    def stamp_bucket(t: pa.Table) -> pa.Table:
-        rows = t["__row"].combine_chunks()
-        is_l = pc.equal(t["__side"], "l").combine_chunks()
-        lrows = rows.filter(is_l)
-        rrows = rows.filter(pc.invert(is_l))
-        left = pa.table({c: pc.struct_field(lrows, c) for c in page_cols})
-        if len(left) == 0:
-            return left.append_column(
-                "is_duplicate", pa.array([], type=pa.bool_())
-            ).append_column(
-                "duplicate_of", pa.array([], type=pa.string())
-            ).append_column("similarity_score", pa.array([], type=pa.int32()))
-        rkeys = pc.struct_field(rrows, "url_hash").to_numpy(zero_copy_only=False)
-        lkeys = left["url_hash"].to_numpy(zero_copy_only=False)
-        pos = pd.Series(np.arange(len(rkeys)), index=rkeys).reindex(lkeys)
-        idx_f = pos.to_numpy(dtype=np.float64)
-        miss = np.isnan(idx_f)
-        indices = pa.array(
-            np.where(miss, 0, idx_f).astype(np.int64), mask=miss
-        )
-        dup_of = pc.take(pc.struct_field(rrows, "dup_of"), indices)
-        sim = pc.take(pc.struct_field(rrows, "similarity"), indices)
+    def finish(t: pa.Table) -> pa.Table:
+        dup_of = t["dup_of"]
+        out = t.drop_columns(["dup_of", "similarity"])
         return (
-            left.append_column("is_duplicate", pa.array(~miss))
+            out.append_column("is_duplicate", pc.is_valid(dup_of).combine_chunks())
             .append_column("duplicate_of", dup_of.cast(pa.string()))
-            .append_column("similarity_score", sim.cast(pa.int32()))
+            .append_column(
+                "similarity_score", t["similarity"].cast(pa.int32())
+            )
         )
 
-    return both.groupby("__bucket").map_groups(stamp_bucket, batch_format="pyarrow")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def mark_duplicates(

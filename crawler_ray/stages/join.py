@@ -134,6 +134,98 @@ def hash_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def attach_unique(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    how: str = "left",
+) -> "rd.Dataset":
+    """Specialized hash join for the common "attach columns by unique key"
+    case (right side has at most one row per key).  Unlike :func:`hash_join`
+    the payloads NEVER pass through pandas: both sides are aligned to ONE
+    exact combined schema (typed nulls for the columns a side lacks) before
+    the union — if the union carried two different schemas, the shuffle
+    concat would fall back to a pandas roundtrip that silently rewrites
+    types (int32 -> int64, struct field reorder, all-null -> null type),
+    fatal for nested payloads.  Inside each bucket the match indices are
+    computed on the key columns only and right payload columns attach via
+    null-masked Arrow ``take``, so wide payloads (span lists, shingle
+    lists) move zero-copy end-to-end.  ``how`` is "left" (unmatched left
+    rows keep null payloads) or "inner"."""
+    lsch = left.schema()
+    rsch = right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lcols = lsch.names
+    rcols = [c for c in rsch.names if c != right_key]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"attach_unique payload column collision: {clash}")
+
+    fields = (
+        [("__key", ltypes[left_key]), ("__side", pa.string())]
+        + [(c, ltypes[c]) for c in lcols]
+        + [(c, rtypes[c]) for c in rcols]
+    )
+
+    def align(side: str, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name, typ in fields:
+                if name == "__key":
+                    cols[name] = t[key].cast(typ)
+                elif name == "__side":
+                    cols[name] = pa.array([side] * n, type=pa.string())
+                elif name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            out = pa.table(cols)
+            b = bucket_ids(t[key].to_numpy(zero_copy_only=False), n_buckets)
+            return out.append_column("__bucket", pa.array(b, type=pa.int64()))
+
+        return fn
+
+    both = left.map_batches(align("l", left_key), batch_format="pyarrow").union(
+        right.map_batches(align("r", right_key), batch_format="pyarrow")
+    )
+
+    expected = pa.schema(
+        [(n, ty) for n, ty in fields] + [("__bucket", pa.int64())]
+    )
+
+    def attach_bucket(t: pa.Table) -> pa.Table:
+        if t.schema != expected:
+            # a pandas fallback upstream (e.g. an empty pandas block in the
+            # union) widens ints to double and mangles nested types; recover
+            # primitives losslessly, fail loudly on unrecoverable nesting
+            t = t.select(expected.names).cast(expected)
+        is_l = pc.equal(t["__side"], "l").combine_chunks()
+        lrows = t.filter(is_l)
+        rrows = t.filter(pc.invert(is_l))
+        out = pa.table({c: lrows[c] for c in lcols})
+        rkeys = rrows["__key"].to_numpy(zero_copy_only=False)
+        lkeys = lrows["__key"].to_numpy(zero_copy_only=False)
+        pos = pd.Series(np.arange(len(rkeys)), index=rkeys).reindex(lkeys)
+        idx_f = pos.to_numpy(dtype=np.float64)
+        miss = np.isnan(idx_f)
+        if how == "inner":
+            out = out.filter(pa.array(~miss))
+            indices = pa.array(idx_f[~miss].astype(np.int64))
+        else:
+            indices = pa.array(np.where(miss, 0, idx_f).astype(np.int64), mask=miss)
+        for c in rcols:
+            out = out.append_column(
+                c, pc.take(rrows[c].combine_chunks(), indices)
+            )
+        return out
+
+    return both.groupby("__bucket").map_groups(attach_bucket, batch_format="pyarrow")
+
+
 def asof_join(
     left: "rd.Dataset",
     right: "rd.Dataset",

@@ -94,3 +94,19 @@ def test_marks_dataset_has_one_row_per_duplicate(ray_session):
     content_dups = set(marks.loc[marks["similarity"] == 100, "url_hash"])
     fuzzy_targets = set(marks.loc[marks["similarity"] < 100, "dup_of"])
     assert not fuzzy_targets & content_dups
+
+
+def test_minhash_join_path_matches_broadcast(ray_session, sf_dir, monkeypatch):
+    """The distributed attach-join verify (used above the candidate
+    threshold) must produce identical pairs to the candidate-only shingle
+    broadcast."""
+    import crawler_ray.pipelines.queries as q
+
+    cols = ["a_doc_id", "b_doc_id"]
+    a = (q.q_doc_minhash_pairs(sf_dir).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    monkeypatch.setattr(q, "MINHASH_BROADCAST_CANDIDATES", 0)
+    b = (q.q_doc_minhash_pairs(sf_dir).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert len(a) > 0
