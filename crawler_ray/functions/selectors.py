@@ -244,6 +244,28 @@ def json_path(data: Any, path: str) -> Any:
     return value
 
 
+def json_path_soft(data: Any, path: str) -> Any:
+    """Reference-parity dot-path navigation: ``None`` on any miss instead of
+    raising (selector_processor.py:178-226 returns None and logs)."""
+    if not path:
+        return data
+    value = data
+    for seg in path.split("."):
+        if value is None:
+            return None
+        if isinstance(value, list):
+            try:
+                idx = int(seg)
+            except (ValueError, TypeError):
+                return None
+            value = value[idx] if 0 <= idx < len(value) else None
+        elif isinstance(value, dict):
+            value = value.get(seg)
+        else:
+            return None
+    return value
+
+
 # ------------------------------------------------------------------ frontend
 def detect_selector_type(selector: str) -> str:
     """Leading '/' -> xpath, else css (selector_processor.py:228-243)."""

@@ -1595,6 +1595,101 @@ def q_workflow_scrape(sf_dir: str):
     )
 
 
+@_functools.lru_cache(maxsize=1)
+def _sql_workflow_api() -> str:
+    """Sequential VALUES oracle for the JSON-API workflow: replays the API
+    pagination + dot-path item extraction + HTML detail scrape with direct
+    ``web.fetch`` calls (no Ray)."""
+    import json
+
+    from crawler_ray.functions.pagination import detect_pattern
+    from crawler_ray.functions.selectors import extract_fields
+    from crawler_ray.sources.miniweb import MiniWeb
+
+    web = MiniWeb(n_docs=100)
+    host = web.hosts()[0]
+    seed = f"https://{host}/api/docs?page=1"
+    urls = [seed]
+    pattern = detect_pattern(seed)
+    if pattern is not None:
+        urls += pattern.pages(seed, max_pages=5)
+
+    ordered, seen = [], set()
+    for url in urls:
+        status, body = web.fetch(url, retry_count=0)
+        if status != 200 or not body:
+            continue
+        data = json.loads(body)
+        for item in data.get("items") or []:
+            link = item.get("url")
+            if link and link not in seen:
+                seen.add(link)
+                ordered.append(link)
+
+    selectors = {"title": "title",
+                 "paragraphs": {"selector": "article p", "multiple": True}}
+    rows = []
+    esc = lambda v: v.replace("'", "''")
+    for url in ordered:
+        status, body = web.fetch(url, retry_count=0)
+        if status != 200 or not body:
+            continue
+        fields = extract_fields(body, selectors)
+        title = fields.get("title")
+        tlit = "CAST(NULL AS VARCHAR)" if title is None else f"'{esc(title)}'"
+        rows.append(
+            f"('{esc(url)}', {tlit}, {len(fields.get('paragraphs') or [])})"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") AS t(url, title, n_paragraphs)"
+    )
+
+
+def q_workflow_api(sf_dir: str):
+    """JSON-API crawl (method="api": paginated /api/docs endpoint, dot-path
+    item extraction) feeding an HTML detail scrape — the reference S2 API
+    fetch path (api_executor.py:21-229) as a workflow; oracle = sequential
+    replay VALUES."""
+    from crawler_ray.pipelines.workflow import WorkflowRunner
+    from crawler_ray.sources.miniweb import miniweb_for_sf
+
+    web = miniweb_for_sf(sf_dir)
+    if web.n_docs > 100:
+        web = type(web)(n_docs=100)
+    host = web.hosts()[0]
+    ctx = WorkflowRunner(web).run(
+        [
+            {
+                "name": "api_daftar", "type": "crawl", "method": "api",
+                "config": {
+                    "seed_url": f"https://{host}/api/docs?page=1",
+                    "pagination": {"enabled": True, "max_pages": 5},
+                },
+                "selectors": {"urls": "items"},
+            },
+            {
+                "name": "detail", "type": "scrape",
+                "input_from": "api_daftar.urls",
+                "selectors": {
+                    "title": "title",
+                    "paragraphs": {"selector": "article p", "multiple": True},
+                },
+            },
+        ]
+    )
+    items = ctx["steps"]["detail"]["items"]
+    return pa.table(
+        {
+            "url": pa.array([i["_url"] for i in items], type=pa.string()),
+            "title": pa.array([i.get("title") for i in items], type=pa.string()),
+            "n_paragraphs": pa.array(
+                [len(i.get("paragraphs") or []) for i in items], type=pa.int64()
+            ),
+        }
+    )
+
+
 def q_media_decode(sf_dir: str):
     """Crawl -> media spans -> actor-pool decode (rows-only: multimodal
     plumbing; deterministic synth codec)."""
@@ -1653,6 +1748,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "crawl_documents": q_crawl_documents,
     "workflow_scrape": q_workflow_scrape,
+    "workflow_api": q_workflow_api,
     "media_decode": q_media_decode,
     "event_user_hll": q_event_user_hll,
 }
@@ -1690,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "crawl_documents": _sql_crawl_documents(),
         "workflow_scrape": _sql_workflow_scrape(),
+        "workflow_api": _sql_workflow_api(),
         # rows-only: crawl_documents / workflow_scrape (golden-interpreter
         # conformance), knn_ann_* / event_user_hll (approximate by design),
         # media_decode (codec stub)

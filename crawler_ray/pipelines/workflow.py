@@ -42,7 +42,7 @@ import ray.data as rd
 from crawler_ray.functions import html as H
 from crawler_ray.functions.conditions import should_run
 from crawler_ray.functions.pagination import detect_pattern, template_pattern
-from crawler_ray.functions.selectors import extract_fields, json_path
+from crawler_ray.functions.selectors import extract_fields, json_path, json_path_soft
 from crawler_ray.functions.variables import resolve
 from crawler_ray.stages.fetch import SyntheticFetcher
 
@@ -169,6 +169,52 @@ class WorkflowRunner:
             link_selector = spec
             break
 
+        if step.method == "api":
+            # JSON-API crawl: parse each page's body as JSON, navigate the
+            # (dot-path) selector to the item list, take each item's URL
+            # (string items directly; dict items via cfg["item_url_key"],
+            # default "url").  Reference: api_executor.py:21-229 +
+            # selector_processor.py:178-226.
+            item_path = link_selector if isinstance(link_selector, str) else "items"
+            url_key = cfg.get("item_url_key", "url")
+
+            def extract_links_api(t: pa.Table) -> pa.Table:
+                import json as _json
+                from urllib.parse import urljoin
+
+                rows_page, rows_dom, rows_url = [], [], []
+                for url, body, status, pidx in zip(
+                    t["url"].to_pylist(), t["html"].to_pylist(),
+                    t["status"].to_pylist(), t["page_idx"].to_pylist(),
+                ):
+                    if status != 200 or not body:
+                        continue
+                    try:
+                        data = _json.loads(body)
+                    except ValueError:
+                        continue  # reference: JSON parse failure -> error page
+                    found = json_path_soft(data, item_path)
+                    if not isinstance(found, list):
+                        continue
+                    for di, item in enumerate(found):
+                        link = (
+                            item if isinstance(item, str)
+                            else (item or {}).get(url_key)
+                            if isinstance(item, dict) else None
+                        )
+                        if not link:
+                            continue
+                        rows_page.append(pidx)
+                        rows_dom.append(di)
+                        rows_url.append(urljoin(url, link))
+                return pa.table(
+                    {
+                        "page_idx": pa.array(rows_page, type=pa.int64()),
+                        "dom_idx": pa.array(rows_dom, type=pa.int64()),
+                        "url": pa.array(rows_url, type=pa.string()),
+                    }
+                )
+
         def extract_links(t: pa.Table) -> pa.Table:
             rows_page, rows_dom, rows_url, titles = [], [], [], []
             for url, html_body, status, pidx in zip(
@@ -202,7 +248,8 @@ class WorkflowRunner:
             )
 
         fetched = self._fetch_ds(urls)
-        links = fetched.map_batches(extract_links, batch_format="pyarrow")
+        link_fn = extract_links_api if step.method == "api" else extract_links
+        links = fetched.map_batches(link_fn, batch_format="pyarrow")
         rows = links.take_all()
         # order-preserving first-wins distinct (crawl_executor.py:173-174)
         rows.sort(key=lambda r: (r["page_idx"], r["dom_idx"]))
@@ -230,7 +277,11 @@ class WorkflowRunner:
         urls = source if isinstance(source, list) else [source]
         selectors = step.selectors or {}
 
+        method = step.method
+
         def scrape(t: pa.Table) -> pa.Table:
+            import json as _json
+
             items, oks, errs = [], [], []
             for url, html_body, status in zip(
                 t["url"].to_pylist(), t["html"].to_pylist(), t["status"].to_pylist()
@@ -238,7 +289,20 @@ class WorkflowRunner:
                 if status != 200 or not html_body:
                     errs.append(f"HTTP {status}: {url}")
                     continue
-                fields = extract_fields(html_body, selectors) if selectors else {}
+                if method == "api":
+                    # JSON body + dot-path selectors (api_executor.py:162-176:
+                    # parse failure is an error result, missing paths -> None)
+                    try:
+                        data = _json.loads(html_body)
+                    except ValueError as e:
+                        errs.append(f"Failed to parse JSON response: {url}")
+                        continue
+                    fields = {
+                        name: json_path_soft(data, path)
+                        for name, path in (selectors or {}).items()
+                    }
+                else:
+                    fields = extract_fields(html_body, selectors) if selectors else {}
                 items.append({"_url": url, **{k: v for k, v in fields.items()}})
                 oks.append(url)
             import json as _json

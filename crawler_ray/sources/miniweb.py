@@ -156,6 +156,35 @@ class MiniWeb:
             if 1 <= page <= self.list_pages_on_host(host):
                 return 200, self._list_html(host, page)
             return 404, ""
+        if path == "/api/docs":
+            # JSON listing endpoint (reference S2 API fetch path,
+            # /root/reference/crawler/services/step_executors/api_executor.py)
+            page = int(parse_qs(p.query).get("page", ["1"])[0])
+            if 1 <= page <= self.list_pages_on_host(host):
+                return 200, self._api_docs_json(host, page)
+            return 404, ""
+        if path.startswith("/api/doc/"):
+            # JSON detail endpoint; same flaky semantics as the HTML view
+            import json
+
+            try:
+                n = int(path.rsplit("/", 1)[1])
+            except ValueError:
+                return 404, ""
+            if not (0 <= n < self.docs_on_host(host)):
+                return 404, ""
+            if self.is_flaky(host, n) and retry_count < 1:
+                return 500, ""
+            paras = self.doc_body_paragraphs(host, n)
+            return 200, json.dumps(
+                {
+                    "id": n,
+                    "title": self.doc_title(host, n),
+                    "paragraphs": paras,
+                    "meta": {"host": host, "n_paragraphs": len(paras)},
+                },
+                ensure_ascii=False,
+            )
         if path.startswith("/doc/"):
             try:
                 n = int(path.rsplit("/", 1)[1])
@@ -188,6 +217,40 @@ class MiniWeb:
             f'<img src="https://{host}/media/doc{n}.png">'
             f"{' '.join(rel)}</article>"
             f'<footer class="ad-footer">iklan</footer></body></html>'
+        )
+
+    def doc_title(self, host: str, n: int) -> str:
+        """Title shared by the HTML and JSON views of a detail page."""
+        paras = self.doc_body_paragraphs(host, n)
+        return "Dokumen " + " ".join(paras[0].split()[:3])
+
+    def _api_docs_json(self, host: str, page: int) -> str:
+        """JSON body of the /api/docs listing: nested metadata + item list
+        (exercises dot-path navigation incl. list indices)."""
+        import json
+
+        n_docs = self.docs_on_host(host)
+        total = self.list_pages_on_host(host)
+        start = (page - 1) * self.details_per_list
+        items = [
+            {
+                "id": i,
+                "url": f"https://{host}/doc/{i}",
+                "api_url": f"https://{host}/api/doc/{i}",
+                "title": self.doc_title(host, i),
+            }
+            for i in range(start, min(start + self.details_per_list, n_docs))
+        ]
+        return json.dumps(
+            {
+                "meta": {"page": page, "total_pages": total, "host": host},
+                "items": items,
+                "next": (
+                    f"https://{host}/api/docs?page={page + 1}"
+                    if page < total else None
+                ),
+            },
+            ensure_ascii=False,
         )
 
     def _list_html(self, host: str, page: int) -> str:
