@@ -127,6 +127,7 @@ class CrawlEngine:
         frontier_blocks: int = 8,
         net_latency_sec: float = 0.0,
         record_history: bool = False,
+        fetch_backend: str = "synthetic",   # "synthetic" | "pooled"
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -139,6 +140,10 @@ class CrawlEngine:
         self.requests_per_second = requests_per_second
         self.net_latency_sec = net_latency_sec
         self.frontier_blocks = frontier_blocks
+        # "pooled" routes every fetch through a FetcherPool (bounded
+        # acquisition, crash replacement, health checks) — the reference's
+        # browser-pool lifecycle behind the same batch contract
+        self.fetch_backend = fetch_backend
         # Conformance mode: accumulate full crawl order + seen log on the
         # driver for golden-equality checks.  Default (False) keeps driver
         # state O(budget x hosts) per round; order/seen deltas stream to the
@@ -327,7 +332,21 @@ class CrawlEngine:
                     if i * per < len(selected_tbl)
                 ]
             fetch_stage = rd.from_arrow(slices)
-            if self.requests_per_second is not None:
+            if self.fetch_backend == "pooled":
+                from crawler_ray.stages.pool import PooledFetcher
+
+                fetched = fetch_stage.map_batches(
+                    PooledFetcher,
+                    fn_constructor_kwargs={
+                        "web": self.web,
+                        "net_latency_sec": self.net_latency_sec,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=self.fetch_concurrency,
+                    num_cpus=1,
+                )
+            elif self.requests_per_second is not None:
                 # politeness pacing needs per-host wall-clock state -> actor pool
                 # batch_size=None: one task per pre-sliced block (a numeric
                 # batch_size makes Ray BUNDLE small blocks into one task,
