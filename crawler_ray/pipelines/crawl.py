@@ -128,6 +128,7 @@ class CrawlEngine:
         net_latency_sec: float = 0.0,
         record_history: bool = False,
         fetch_backend: str = "synthetic",   # "synthetic" | "pooled"
+        cancel_check=None,                  # () -> bool; polled between stages
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -144,6 +145,14 @@ class CrawlEngine:
         # acquisition, crash replacement, health checks) — the reference's
         # browser-pool lifecycle behind the same batch contract
         self.fetch_backend = fetch_backend
+        # Mid-round cooperative cancellation (reference T8: a cancel flag is
+        # polled between steps/pages, redis_cache.py:254-357).  The check
+        # runs at stage boundaries inside a round; on cancel the CURRENT
+        # round's uncommitted state is discarded (no manifest is written, so
+        # CrawlEngine.resume replays that round from its frontier snapshot
+        # without duplicate pages).
+        self.cancel_check = cancel_check
+        self.cancelled = False
         # Conformance mode: accumulate full crawl order + seen log on the
         # driver for golden-equality checks.  Default (False) keeps driver
         # state O(budget x hosts) per round; order/seen deltas stream to the
@@ -163,6 +172,11 @@ class CrawlEngine:
         if self.debug_timing:
             print(f"    [{label}] {now - t0:.2f}s", flush=True)
         return now
+
+    def _cancel_requested(self) -> bool:
+        if self.cancel_check is not None and self.cancel_check():
+            self.cancelled = True
+        return self.cancelled
 
     # ------------------------------------------------------------ seeds
     def _seed_frontier(self) -> pa.Table:
@@ -281,8 +295,6 @@ class CrawlEngine:
                 .sort_values(["score", "url_hash"], kind="mergesort")
             )
             sel_rows = sel_df.to_dict("records")
-            if self.record_history:
-                order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
             sel_hashes = frozenset(d["url_hash"] for d in sel_rows)
             selected_tbl = pa.Table.from_pandas(
                 sel_df, preserve_index=False
@@ -369,10 +381,14 @@ class CrawlEngine:
                     batch_format="pyarrow",
                     batch_size=None,
                 )
+            if self._cancel_requested():
+                break  # before fetch: nothing of round r is committed
             parsed = fetched.map_batches(
                 parse_fetched_batch, batch_format="pyarrow"
             ).materialize()
             tt = self._t('fetch_parse', tt)
+            if self._cancel_requested():
+                break  # after fetch/parse: round r discarded, replay on resume
 
             def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
                 ok = t.filter(pc.equal(t["status"], 200))
@@ -384,7 +400,6 @@ class CrawlEngine:
                 # pin once: the emptiness check and the parquet write below
                 # would otherwise each re-execute the _ok_pages stage
                 pages_round = pages_round.materialize()
-            page_parts.append(pages_round)
 
             # --- failures: retry or dead-letter ---------------------------
             failed_rows = (
@@ -397,6 +412,7 @@ class CrawlEngine:
             ).take_all()
             tt = self._t('failed_collect', tt)
             retry_rows = []
+            round_dlq = []
             for row in failed_rows:
                 retryable = row["status"] == 429 or row["status"] >= 500
                 if retryable and row["retry_count"] < self.max_retries:
@@ -412,7 +428,7 @@ class CrawlEngine:
                         }
                     )
                 else:
-                    dlq_rows.append(
+                    round_dlq.append(
                         {
                             "url": row["url"], "url_hash": row["url_hash"],
                             "status": row["status"], "round": r,
@@ -450,6 +466,11 @@ class CrawlEngine:
             )
             offered.count()  # drive the offer stage to completion
             tt = self._t('offer', tt)
+            if self._cancel_requested():
+                # after link-offer: seen-shard actors hold uncommitted
+                # additions; the round is dropped, and a resume rebuilds the
+                # seen set from COMMITTED deltas only (fresh actors)
+                break
             winners = seen_handle.resolve()  # [(url_hash, url, host, parent)]
             tt = self._t('resolve', tt)
             if winners:
@@ -486,6 +507,11 @@ class CrawlEngine:
                 .repartition(self.frontier_blocks)
             )
 
+            # ---- commit round r (everything above is discardable) --------
+            if self.record_history:
+                order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
+            page_parts.append(pages_round)
+            dlq_rows.extend(round_dlq)
             metrics.append(
                 {
                     "round": r,

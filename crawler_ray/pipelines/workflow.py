@@ -43,6 +43,7 @@ from crawler_ray.functions import html as H
 from crawler_ray.functions.conditions import should_run
 from crawler_ray.functions.pagination import detect_pattern, template_pattern
 from crawler_ray.functions.selectors import extract_fields, json_path, json_path_soft
+from crawler_ray.functions.validation import StepValidator, partition_valid_urls
 from crawler_ray.functions.variables import resolve
 from crawler_ray.stages.fetch import SyntheticFetcher
 
@@ -147,6 +148,11 @@ class WorkflowRunner:
             seeds = [seed_url]
         if not seeds:
             raise ValueError(f"crawl step '{step.name}' has no seed URL")
+        # typed input validation (reference M11, step_validator.py:41-72):
+        # empty/garbage seeds and malformed selector specs raise
+        # StepValidationError before any fetch happens
+        StepValidator().validate_input(step.name, "crawl", seeds,
+                                       selectors=step.selectors)
         seed = seeds[0]  # reference quirk: first seed only
 
         pag = cfg.get("pagination", {})
@@ -259,7 +265,7 @@ class WorkflowRunner:
             if r["url"] not in seen:
                 seen.add(r["url"])
                 ordered.append(r["url"])
-        return {
+        out = {
             link_field: ordered,
             "_crawl_metadata": {
                 "pages_crawled": len(urls),
@@ -267,6 +273,11 @@ class WorkflowRunner:
                 "duplicate_urls": len(rows) - len(ordered),
             },
         }
+        # typed output validation (step_validator.py:113-143)
+        StepValidator().validate_output(
+            step.name, "crawl", {link_field: ordered}, out["_crawl_metadata"]
+        )
+        return out
 
     def _run_scrape(self, step: Step, context: dict) -> dict:
         if not step.input_from:
@@ -276,6 +287,18 @@ class WorkflowRunner:
         )
         urls = source if isinstance(source, list) else [source]
         selectors = step.selectors or {}
+        # typed input validation (step_validator.py:75-107); quarantine mode
+        # (config {"quarantine": true}) splits bad rows out instead of
+        # failing the whole distributed step
+        quarantined: list[dict] = []
+        if step.config.get("quarantine"):
+            urls, quarantined = partition_valid_urls(urls)
+            # urls already partitioned; still validate the selector specs
+            StepValidator().validate_input(step.name, "scrape", None,
+                                           selectors=selectors)
+        else:
+            StepValidator().validate_input(step.name, "scrape", urls,
+                                           selectors=selectors)
 
         method = step.method
 
@@ -328,12 +351,20 @@ class WorkflowRunner:
         out_rows = self._fetch_ds(urls).map_batches(scrape, batch_format="pyarrow").take_all()
         items = [_json.loads(r["item"]) for r in out_rows if r["item"] is not None]
         errors = [r["error"] for r in out_rows if r["error"] is not None]
-        return {
+        out = {
             "items": items,
             "success_count": len(items),
             "error_count": len(errors),
             "errors": errors[:5],  # reference truncation (scrape_executor.py:209-211)
+            "quarantined": quarantined,
         }
+        # typed output validation (step_validator.py:146-184)
+        StepValidator().validate_output(
+            step.name, "scrape", {"items": out["items"]},
+            {"total_urls": len(urls), "successful_urls": out["success_count"],
+             "failed_urls": out["error_count"]},
+        )
+        return out
 
     # ------------------------------------------------------------ run
     def run(self, steps: list[Step | dict], seed_url: str | None = None,

@@ -105,3 +105,41 @@ def test_resume_with_incomplete_last_round(ray_session, ckpt_dir):
     )
     assert resumed2.pages.count() == baseline.pages.count()
     assert resumed2.seen == baseline.seen
+
+
+def test_mid_round_cancel_and_resume(ray_session, ckpt_dir):
+    """Cooperative mid-round cancel (reference T8): the engine stops at a
+    stage boundary inside a round, discards that round's uncommitted state,
+    and a resume replays it from the frontier snapshot — no duplicate
+    pages, final result equal to an uninterrupted run."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    baseline = _run_full()
+
+    calls = {"n": 0}
+
+    def cancel_mid_round_1():
+        calls["n"] += 1
+        return calls["n"] >= 5  # trips after round 1's fetch/parse stage
+
+    engine = CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        checkpoint_dir=ckpt_dir, record_history=True,
+        cancel_check=cancel_mid_round_1,
+    )
+    partial = engine.run()
+    assert engine.cancelled
+    n_committed = len(partial.metrics)
+    assert 0 < n_committed < len(baseline.metrics)
+    # only committed rounds contributed pages
+    assert partial.pages.count() == sum(m["pages_ok"] for m in partial.metrics)
+
+    resumed = CrawlEngine.resume(
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
+    )
+    assert resumed.seen == baseline.seen
+    assert [(r, h) for r, h, _ in resumed.order] == [
+        (r, h) for r, h, _ in baseline.order
+    ]
+    assert resumed.pages.count() == baseline.pages.count()
