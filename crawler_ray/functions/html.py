@@ -79,7 +79,13 @@ class _SpanCollector(HTMLParser):
         self.spans: list[dict] = []
         self._offset = 0
         self._in_title = 0
-        self._skip_depth = 0          # inside boilerplate/ad subtree
+        # Boilerplate skip scope as a STACK of open tag names (not a raw
+        # depth counter): real-world HTML relies on implicit closes, so a
+        # stray end tag must not exit the scope early, and an unclosed
+        # inner tag (e.g. "<nav><p>x</nav>") must not wedge the scope open
+        # — the scope closes when the boilerplate tag's own end tag (or any
+        # enclosing tracked tag) arrives, popping unclosed inners with it.
+        self._skip_stack: list[str] = []
         self._text_parts: list[str] = []
 
     def _flush_text(self) -> None:
@@ -96,15 +102,15 @@ class _SpanCollector(HTMLParser):
         self._offset += max(1, len(text) + len(media_ref))
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if self._skip_depth:
+        if self._skip_stack:
             if tag not in VOID_TAGS:
-                self._skip_depth += 1
+                self._skip_stack.append(tag)
             return
         ad = dict(attrs)
         marker = f"{ad.get('class', '')} {ad.get('id', '')}"
         if tag in BOILERPLATE_TAGS or AD_CLASS_RE.search(marker):
-            if tag not in VOID_TAGS:  # void tags (meta/link/...) have no
-                self._skip_depth = 1  # end tag to close a skip scope
+            if tag not in VOID_TAGS:      # void tags (meta/link/...) have no
+                self._skip_stack = [tag]  # end tag to close a skip scope
             return
         if tag == "title":
             self._flush_text()
@@ -123,8 +129,13 @@ class _SpanCollector(HTMLParser):
             self._flush_text()
 
     def handle_endtag(self, tag: str) -> None:
-        if self._skip_depth:
-            self._skip_depth -= 1
+        if self._skip_stack:
+            if tag in self._skip_stack:
+                # pop through the LAST matching open tag: implicitly closes
+                # any unclosed inner tags (p/li/tr-style) along the way
+                idx = len(self._skip_stack) - 1 - self._skip_stack[::-1].index(tag)
+                del self._skip_stack[idx:]
+            # stray end tag (not open in the scope): ignore, stay skipping
             return
         if tag == "title" and self._in_title:
             self._in_title -= 1
@@ -132,7 +143,7 @@ class _SpanCollector(HTMLParser):
             self._flush_text()
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
+        if self._skip_stack:
             return
         if self._in_title:
             t = _WS.sub(" ", data).strip()

@@ -71,3 +71,31 @@ def test_normalize_spans_text_consistency():
     spans = parse_spans(html)
     assert normalize_spans_text(spans) == "a b c d"
     assert page_title(spans) == "A B"
+
+
+def test_skip_scope_survives_unbalanced_markup():
+    """ADVICE: an unclosed inner tag inside boilerplate must not swallow the
+    rest of the document, and a stray end tag must not exit the scope."""
+    from crawler_ray.functions.html import parse_spans
+
+    # unclosed <p> inside <nav>: </nav> implicitly closes it
+    spans = parse_spans("<html><nav><p>menu</nav><article><p>body</p></article></html>")
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["body"]
+
+    # stray </div> inside <nav> must NOT end the skip scope early
+    spans = parse_spans("<html><nav>menu</div>still menu</nav><p>real</p></html>")
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["real"]
+
+    # nested boilerplate with implicit closes all the way down
+    spans = parse_spans(
+        "<html><footer><ul><li>a<li>b</footer><p>content</p></html>"
+    )
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["content"]
+
+    # unclosed boilerplate at EOF still swallows only its own subtree
+    spans = parse_spans("<html><p>before</p><nav><p>menu")
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["before"]
