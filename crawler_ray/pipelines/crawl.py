@@ -333,9 +333,11 @@ class CrawlEngine:
                 # budget-discretized politeness: pre-slice for parallelism
                 # (from_arrow of a list = one block per slice; repartition
                 # would be an all-to-all with ~1-2 s fixed cost per round).
-                # ~2 blocks per CPU with >= 4 rows per block.
+                # ~4 blocks per CPU with >= 4 rows per block: fetch tasks are
+                # network-latency-bound and run at num_cpus=0.25, so the
+                # scheduler overlaps ~4 in-flight requests per core.
                 n_fetch_blocks = max(
-                    1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
+                    1, min(4 * self._ncpus, -(-len(sel_rows) // 4))
                 )
                 per = -(-len(selected_tbl) // n_fetch_blocks)
                 slices = [
