@@ -250,6 +250,7 @@ class CrawlEngine:
             tt = time.monotonic()
             frontier_ds = frontier_ds.materialize()
             n_frontier = frontier_ds.count()
+            n_frontier_blocks = frontier_ds.num_blocks()
             tt = self._t('frontier_mat', tt)
             if n_frontier == 0:
                 break
@@ -333,11 +334,9 @@ class CrawlEngine:
                 # budget-discretized politeness: pre-slice for parallelism
                 # (from_arrow of a list = one block per slice; repartition
                 # would be an all-to-all with ~1-2 s fixed cost per round).
-                # ~4 blocks per CPU with >= 4 rows per block: fetch tasks are
-                # network-latency-bound and run at num_cpus=0.25, so the
-                # scheduler overlaps ~4 in-flight requests per core.
+                # ~2 blocks per CPU with >= 4 rows per block.
                 n_fetch_blocks = max(
-                    1, min(4 * self._ncpus, -(-len(sel_rows) // 4))
+                    1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
                 )
                 per = -(-len(selected_tbl) // n_fetch_blocks)
                 slices = [
@@ -403,16 +402,43 @@ class CrawlEngine:
                 # would otherwise each re-execute the _ok_pages stage
                 pages_round = pages_round.materialize()
 
-            # --- failures: retry or dead-letter ---------------------------
-            failed_rows = (
-                parsed.map_batches(
-                    lambda t: t.filter(pc.not_equal(t["status"], 200)).select(
-                        ["url", "url_hash", "host", "status", "retry_count", "lineage"]
-                    ),
-                    batch_format="pyarrow",
+            # --- failures + discoveries in ONE pass over parsed ----------
+            # Round-local first-wins dedup + seen anti-join are FUSED in the
+            # seen shards (offer/resolve, state/seen.py): each task offers
+            # its block's candidates with the deterministic sortkey
+            # (parent_hash, dom_idx); shards keep the min per unseen hash.
+            # The same pass returns the non-200 rows, so the round costs one
+            # Dataset execution over parsed instead of two (each execution
+            # carries ~0.2-0.5 s of fixed scheduling cost — the dominant
+            # per-round overhead once fetch/parse are optimized).
+            def _offer_and_collect_failed(t: pa.Table) -> pa.Table:
+                links = explode_links(t)
+                if len(links):
+                    links = links.filter(
+                        pa.array(robots.allowed_batch(links["url"].to_pylist()),
+                                 type=pa.bool_())
+                    )
+                if len(links):
+                    hashes = links["url_hash"].to_pylist()
+                    parents = links["parent_hash"].to_pylist()
+                    doms = links["dom_idx"].to_pylist()
+                    urls = links["url"].to_pylist()
+                    hosts = links["host"].to_pylist()
+                    keys = [f"{p}:{d:08d}" for p, d in zip(parents, doms)]
+                    seen_handle.offer(hashes, keys, list(zip(urls, hosts, parents)))
+                return t.filter(pc.not_equal(t["status"], 200)).select(
+                    ["url", "url_hash", "host", "status", "retry_count", "lineage"]
                 )
+
+            failed_rows = parsed.map_batches(
+                _offer_and_collect_failed, batch_format="pyarrow"
             ).take_all()
-            tt = self._t('failed_collect', tt)
+            tt = self._t('offer+failed', tt)
+            if self._cancel_requested():
+                # after link-offer: seen-shard actors hold uncommitted
+                # additions; the round is dropped, and a resume rebuilds the
+                # seen set from COMMITTED deltas only (fresh actors)
+                break
             retry_rows = []
             round_dlq = []
             for row in failed_rows:
@@ -444,35 +470,6 @@ class CrawlEngine:
                 else _empty_frontier()
             )
 
-            # --- discoveries ---------------------------------------------
-            # Round-local first-wins dedup + seen anti-join are FUSED in the
-            # seen shards (offer/resolve, state/seen.py): each task offers its
-            # block's candidates with the deterministic sortkey
-            # (parent_hash, dom_idx); shards keep the min per unseen hash.
-            def _offer_links(t: pa.Table) -> pa.Table:
-                t = t.filter(pa.array(robots.allowed_batch(t["url"].to_pylist())))
-                hashes = t["url_hash"].to_pylist()
-                parents = t["parent_hash"].to_pylist()
-                doms = t["dom_idx"].to_pylist()
-                urls = t["url"].to_pylist()
-                hosts = t["host"].to_pylist()
-                keys = [f"{p}:{d:08d}" for p, d in zip(parents, doms)]
-                n = seen_handle.offer(
-                    hashes, keys, list(zip(urls, hosts, parents))
-                )
-                return pa.table({"offered": pa.array([n], type=pa.int64())})
-
-            offered = (
-                parsed.map_batches(explode_links, batch_format="pyarrow")
-                .map_batches(_offer_links, batch_format="pyarrow")
-            )
-            offered.count()  # drive the offer stage to completion
-            tt = self._t('offer', tt)
-            if self._cancel_requested():
-                # after link-offer: seen-shard actors hold uncommitted
-                # additions; the round is dropped, and a resume rebuilds the
-                # seen set from COMMITTED deltas only (fresh actors)
-                break
             winners = seen_handle.resolve()  # [(url_hash, url, host, parent)]
             tt = self._t('resolve', tt)
             if winners:
@@ -495,9 +492,11 @@ class CrawlEngine:
             else:
                 new_tbl = _empty_frontier()
 
-            # repartition bounds block count: rest inherits the previous
-            # frontier's blocks, so an unbounded union grows blocks every
-            # round (exponential scheduling overhead)
+            # bound block count: rest inherits the previous frontier's
+            # blocks and each union adds two, so an unbounded union grows
+            # blocks every round (exponential scheduling overhead) — but the
+            # repartition all-to-all has its own ~0.5 s fixed cost, so only
+            # coalesce once the count drifts past 4x the target
             frontier_ds = (
                 rest
                 .union(rd.from_arrow(retries_tbl))
@@ -506,8 +505,9 @@ class CrawlEngine:
                     lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
                     batch_format="pyarrow",
                 )
-                .repartition(self.frontier_blocks)
             )
+            if n_frontier_blocks + 2 > 4 * self.frontier_blocks:
+                frontier_ds = frontier_ds.repartition(self.frontier_blocks)
 
             # ---- commit round r (everything above is discardable) --------
             if self.record_history:
