@@ -859,66 +859,186 @@ def _doc_shingles_ds(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+N_PAIR_BUCKETS = 64
+
+
+def _pair_bucket(t: pa.Table) -> pa.Table:
+    """Co-locate identical candidate pairs (surfaced by several index keys)
+    in one bucket for a vectorized cross-key dedup."""
+    from crawler_ray.stages.join import bucket_ids
+
+    a = t["a_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column(
+        "pbucket", pa.array(bucket_ids(a * 2_000_003 + b, N_PAIR_BUCKETS))
+    )
+
+
+def _dedup_pair_candidates(candidates: "rd.Dataset") -> "rd.Dataset":
+    """Distinct (a_doc_id, b_doc_id) via bucketed vectorized
+    drop_duplicates: Ray's row-based groupby([a,b]).aggregate costs
+    ~400 ms/partition of Python; two sorts of the narrow pair table cost
+    ~2 s instead."""
+
+    def dedup(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates(["a_doc_id", "b_doc_id"])
+        return pa.table(
+            {
+                "a_doc_id": pa.array(df["a_doc_id"].to_numpy(dtype=np.int64)),
+                "b_doc_id": pa.array(df["b_doc_id"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    return (
+        candidates.map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
+
+
+def _verify_pairs_df(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact Jaccard over attached shingle lists; emits only pairs at or
+    above JACCARD_THRESHOLD with oracle-identical columns."""
+    out = []
+    for a, b, sa, sb in zip(
+        df["a_doc_id"], df["b_doc_id"], df["shingles_a"], df["shingles"]
+    ):
+        sa, sb = set(sa), set(sb)
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= JACCARD_THRESHOLD:
+            out.append((int(a), int(b), inter, float(duck_round(inter / union, 6))))
+    return pd.DataFrame(
+        {
+            "a_doc_id": pd.array([o[0] for o in out], dtype="int64"),
+            "b_doc_id": pd.array([o[1] for o in out], dtype="int64"),
+            "intersection": pd.array([o[2] for o in out], dtype="int64"),
+            "jaccard": pd.array([o[3] for o in out], dtype="float64"),
+        }
+    )
+
+
+def _verify_candidates(candidates: "rd.Dataset", sf_dir: str) -> "rd.Dataset":
+    """Exact-Jaccard verification of candidate pairs without ever holding a
+    whole-corpus map: small candidate sets broadcast ONLY the candidate
+    docs' shingle sets (driver O(candidates)); larger sets go through fully
+    distributed attach joins against the (doc_id, shingles) dataset (a
+    side, then b side), so only candidate docs' shingle sets co-locate."""
+    from crawler_ray.stages.join import attach_unique
+
+    candidates = candidates.materialize()
+    n_cands = candidates.count()
+    shingles = _doc_shingles_ds(sf_dir)
+
+    if n_cands <= MINHASH_BROADCAST_CANDIDATES:
+        cand_ids = set()
+        for r in candidates.take_all():
+            cand_ids.add(r["a_doc_id"])
+            cand_ids.add(r["b_doc_id"])
+        idref = ray.put(cand_ids)
+
+        def only_cands(t: pa.Table) -> pa.Table:
+            ids = ray.get(idref)
+            mask = [d in ids for d in t["doc_id"].to_pylist()]
+            return t.filter(pa.array(mask, type=pa.bool_()))
+
+        sets = {
+            r["doc_id"]: frozenset(r["shingles"])
+            for r in shingles.map_batches(only_cands, batch_format="pyarrow").take_all()
+        }
+        sref = ray.put(sets)
+
+        def verify_bc(t: pa.Table) -> pd.DataFrame:
+            smap = ray.get(sref)
+            df = pd.DataFrame(
+                {"a_doc_id": t["a_doc_id"].to_pylist(),
+                 "b_doc_id": t["b_doc_id"].to_pylist()}
+            )
+            df["shingles_a"] = df["a_doc_id"].map(smap)
+            df["shingles"] = df["b_doc_id"].map(smap)
+            return _verify_pairs_df(df)
+
+        return candidates.map_batches(verify_bc, batch_format="pyarrow")
+
+    with_a = attach_unique(
+        candidates, shingles, "a_doc_id", "doc_id", how="inner"
+    ).map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "shingles" else "shingles_a" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = attach_unique(with_a, shingles, "b_doc_id", "doc_id", how="inner")
+    return with_both.map_batches(
+        _verify_pairs_df, batch_format="pandas", batch_size=4096
+    )
+
+
 def q_doc_jaccard_pairs(sf_dir: str):
-    """Exact n-gram Jaccard near-dup join: explode distinct shingles ->
-    groupby(shingle) pair generation -> groupby(pair) intersection counts ->
-    threshold (the classic inverted-index similarity join; reference
-    analogue: simhash near-dup J3 reimagined for token shingles)."""
+    """Exact n-gram Jaccard near-dup join via SYMMETRIC PREFIX FILTERING
+    (Vernica et al., SIGMOD'10 — the scale-correct exact set-similarity
+    join): shingles get a global canonical order (md5-low-64, then string);
+    for J >= t each doc indexes only its first ``|s| - ceil(t*|s|) + 1``
+    shingles, because the MINIMUM common element of any qualifying pair
+    provably lies in BOTH prefixes (elements before it in either doc are
+    outside the intersection, and |A∩B| >= t*|s| for both sides).  A
+    size-ratio filter (|smaller| >= t*|larger|) prunes further, and the
+    candidates are verified with the exact-Jaccard pass shared with the
+    MinHash join — so the result is EXACT (no recall loss), replacing the
+    old full-inverted-index join that was quadratic in hot shingles."""
+    import hashlib as _hl
+    import math
+
     from crawler_ray.functions.text import shingles_of, tokens_of
+    from crawler_ray.stages.join import bucket_ids
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    N_BUCKETS = 64
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, shingles, sizes = [], [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            ss = shingles_of(tokens_of(t), SHINGLE_K)
-            for s in ss:
+    def explode_prefix(bt: pa.Table) -> pa.Table:
+        doc_ids, sh, sizes = [], [], []
+        for d, text in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
+            ss = shingles_of(tokens_of(text), SHINGLE_K)
+            n = len(ss)
+            if n == 0:
+                continue
+            ordered = sorted(ss, key=lambda x: (_hl.md5(x.encode()).digest()[8:], x))
+            p = n - math.ceil(JACCARD_THRESHOLD * n) + 1
+            for x in ordered[:p]:
                 doc_ids.append(int(d))
-                shingles.append(s)
-                sizes.append(len(ss))
-        out = pd.DataFrame({"shingle": shingles, "doc_id": doc_ids, "n": sizes})
-        out["bucket"] = out["shingle"].map(
-            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % N_BUCKETS
+                sh.append(x)
+                sizes.append(n)
+        return pa.table(
+            {
+                "shingle": pa.array(sh, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n": pa.array(sizes, type=pa.int64()),
+                "bucket": pa.array(
+                    bucket_ids(np.asarray(sh, dtype=object), N_PAIR_BUCKETS)
+                    if sh else np.array([], dtype=np.int64)
+                ),
+            }
         )
-        return out
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-join on shingle within the bucket (a shingle lives
-        # wholly in one bucket, so pair counts within buckets are partials
-        # summed by the final groupby)
+    def candidates_in_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
-        if m.empty:
-            return pd.DataFrame({"a_doc_id": pd.array([], dtype="int64"),
-                                 "b_doc_id": pd.array([], dtype="int64"),
-                                 "na": pd.array([], dtype="int64"),
-                                 "nb": pd.array([], dtype="int64"),
-                                 "inter": pd.array([], dtype="int64")})
-        g = (
-            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
-            .agg(na=("n_a", "first"), nb=("n_b", "first"), inter=("shingle", "size"))
-            .reset_index()
-            .rename(columns={"doc_id_a": "a_doc_id", "doc_id_b": "b_doc_id"})
+        thr = JACCARD_THRESHOLD
+        m = m[(m["n_a"] >= thr * m["n_b"]) & (m["n_b"] >= thr * m["n_a"])]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return pa.table(
+            {
+                "a_doc_id": pa.array(out["doc_id_a"].to_numpy(dtype=np.int64)),
+                "b_doc_id": pa.array(out["doc_id_b"].to_numpy(dtype=np.int64)),
+            }
         )
-        return g
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        inter = df["intersection"]
-        j = inter / (df["na"] + df["nb"] - inter)
-        df = df.assign(jaccard=duck_round(j, 6))[j >= JACCARD_THRESHOLD]
-        return df[["a_doc_id", "b_doc_id", "intersection", "jaccard"]]
-
-    return (
-        ds.map_batches(explode, batch_format="pandas")
+    candidates = _dedup_pair_candidates(
+        ds.map_batches(explode_prefix, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["a_doc_id", "b_doc_id"])
-        .aggregate(Sum("inter", alias_name="intersection"),
-                   Min("na", alias_name="na"), Min("nb", alias_name="nb"))
-        .map_batches(finish, batch_format="pandas")
+        .map_groups(candidates_in_bucket, batch_format="pyarrow")
     )
+    return _verify_candidates(candidates, sf_dir)
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -933,7 +1053,6 @@ def q_doc_minhash_pairs(sf_dir: str):
     dataset (a side, then b side), so only candidate docs' shingle sets
     ever co-locate."""
     from crawler_ray.functions.text import MinHasher, hash_shingles, shingles_of, tokens_of
-    from crawler_ray.stages.join import attach_unique
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -968,103 +1087,12 @@ def q_doc_minhash_pairs(sf_dir: str):
             }
         )
 
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        # co-locate identical pairs (found by several bands) in one bucket
-        a = t["a_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["b_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        from crawler_ray.stages.join import bucket_ids
-
-        return t.append_column(
-            "pbucket", pa.array(bucket_ids(a * 2_000_003 + b, N_BUCKETS))
-        )
-
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates(["a_doc_id", "b_doc_id"])
-        return pa.table(
-            {
-                "a_doc_id": pa.array(df["a_doc_id"].to_numpy(dtype=np.int64)),
-                "b_doc_id": pa.array(df["b_doc_id"].to_numpy(dtype=np.int64)),
-            }
-        )
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for a, b, sa, sb in zip(
-            df["a_doc_id"], df["b_doc_id"], df["shingles_a"], df["shingles"]
-        ):
-            sa, sb = set(sa), set(sb)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union and inter / union >= JACCARD_THRESHOLD:
-                out.append((int(a), int(b), inter, float(duck_round(inter / union, 6))))
-        return pd.DataFrame(
-            {
-                "a_doc_id": pd.array([o[0] for o in out], dtype="int64"),
-                "b_doc_id": pd.array([o[1] for o in out], dtype="int64"),
-                "intersection": pd.array([o[2] for o in out], dtype="int64"),
-                "jaccard": pd.array([o[3] for o in out], dtype="float64"),
-            }
-        )
-
-    # dedup across band buckets with a bucketed vectorized drop_duplicates:
-    # Ray's row-based groupby([a,b]).aggregate(Count) costs ~400 ms/task of
-    # Python per partition (26 s of the old 28 s wall at sf0.1); two sorts
-    # of the narrow pair table cost ~2 s instead
-    candidates = (
+    candidates = _dedup_pair_candidates(
         ds.map_batches(bands, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(candidates_in_bucket, batch_format="pyarrow")
-        .map_batches(pair_bucket, batch_format="pyarrow")
-        .groupby("pbucket")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
-    candidates = candidates.materialize()
-    n_cands = candidates.count()
-    shingles = _doc_shingles_ds(sf_dir)
-
-    if n_cands <= MINHASH_BROADCAST_CANDIDATES:
-        # small candidate set: broadcast the CANDIDATE docs' shingle sets
-        # only (driver memory O(candidates), never O(corpus)) and verify
-        # map-side — saves the two attach shuffles
-        cand_ids = set()
-        for r in candidates.take_all():
-            cand_ids.add(r["a_doc_id"])
-            cand_ids.add(r["b_doc_id"])
-        idref = ray.put(cand_ids)
-
-        def only_cands(t: pa.Table) -> pa.Table:
-            ids = ray.get(idref)
-            mask = [d in ids for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-        sets = {
-            r["doc_id"]: frozenset(r["shingles"])
-            for r in shingles.map_batches(only_cands, batch_format="pyarrow").take_all()
-        }
-        sref = ray.put(sets)
-
-        def verify_bc(t: pa.Table) -> pd.DataFrame:
-            s = ray.get(sref)
-            df = pd.DataFrame(
-                {"a_doc_id": t["a_doc_id"].to_pylist(),
-                 "b_doc_id": t["b_doc_id"].to_pylist()}
-            )
-            df["shingles_a"] = df["a_doc_id"].map(s)
-            df["shingles"] = df["b_doc_id"].map(s)
-            return verify(df)
-
-        return candidates.map_batches(verify_bc, batch_format="pyarrow")
-
-    with_a = attach_unique(
-        candidates, shingles, "a_doc_id", "doc_id", how="inner"
-    ).map_batches(
-        lambda t: t.rename_columns(
-            [c if c != "shingles" else "shingles_a" for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    with_both = attach_unique(with_a, shingles, "b_doc_id", "doc_id", how="inner")
-    return with_both.map_batches(verify, batch_format="pandas", batch_size=4096)
+    return _verify_candidates(candidates, sf_dir)
 
 
 def q_doc_simhash_bands(sf_dir: str):

@@ -110,3 +110,32 @@ def test_minhash_join_path_matches_broadcast(ray_session, sf_dir, monkeypatch):
          .sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_like=True)
     assert len(a) > 0
+
+
+def test_join_paths_collect_nothing_on_driver(ray_session, monkeypatch):
+    """Evidence for the O(corpus)-driver-state fix: with the broadcast
+    thresholds forced to 0, marking duplicates and the minhash near-dup
+    join complete WITHOUT a single take_all row reaching the driver."""
+    import ray.data as rd_mod
+
+    import crawler_ray.pipelines.queries as q
+    from crawler_ray.stages.dedupe import mark_duplicates as md
+
+    collected = {"rows": 0}
+    real_take_all = rd_mod.Dataset.take_all
+
+    def counting_take_all(self, *a, **kw):
+        rows = real_take_all(self, *a, **kw)
+        collected["rows"] += len(rows)
+        return rows
+
+    monkeypatch.setattr(rd_mod.Dataset, "take_all", counting_take_all)
+
+    t, _ = _mostly_dup_pages(800)
+    n = md(rd.from_arrow(t), broadcast_limit=0).count()
+    assert n == 800
+    assert collected["rows"] == 0
+
+    monkeypatch.setattr(q, "MINHASH_BROADCAST_CANDIDATES", 0)
+    assert q.q_doc_minhash_pairs("/root/testdata/sf0.001").count() > 0
+    assert collected["rows"] == 0
