@@ -31,12 +31,12 @@ def entry() -> Any:
     import pyarrow.compute as pc
 
     from crawler_ray.pipelines.crawl import CrawlEngine
-    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.sources.miniweb import MiniWeb
     from crawler_ray.stages.dedupe import mark_duplicates
 
-    web = miniweb_for_sf("/root/testdata/sf0.001")
-    if web.n_docs > 300:
-        web = type(web)(n_docs=300)
+    # fixed 300-doc mini-web (the same web the crawl conformance oracle
+    # embeds; the sf dir only feeds the relational queries)
+    web = MiniWeb(n_docs=300)
     engine = CrawlEngine(web, budget_per_host=32, max_rounds=48, seen_shards=2)
     result = engine.run()
     marked = mark_duplicates(result.pages)

@@ -80,12 +80,19 @@ _TIMESTAMP_GUARDS = [
 
 def scrub_timestamps(text: str) -> str:
     """Apply TIMESTAMP_RES in order, skipping patterns whose guard words
-    are absent (pure speedup: guards are necessary conditions)."""
+    are absent from the CURRENT text (guards are necessary conditions, and
+    the lowercased guard text is recomputed after every substitution that
+    changed the text, so the result is exactly the sequential-sub result —
+    a deletion that fuses fragments into a guard word re-enables the
+    guarded pattern just as the unguarded loop would)."""
     low = text.lower()
     for rx, guard in zip(TIMESTAMP_RES, _TIMESTAMP_GUARDS):
         if guard is not None and not any(g in low for g in guard):
             continue
-        text = rx.sub("", text)
+        new = rx.sub("", text)
+        if new != text:
+            text = new
+            low = text.lower()
     return text
 
 

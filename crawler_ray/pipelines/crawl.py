@@ -348,11 +348,16 @@ class CrawlEngine:
             if self.fetch_backend == "pooled":
                 from crawler_ray.stages.pool import PooledFetcher
 
+                # requests_per_second carries into the pool (per-host token
+                # buckets; the rps slicing above already serializes a host
+                # through one actor) — pooled mode must not silently drop
+                # the politeness contract
                 fetched = fetch_stage.map_batches(
                     PooledFetcher,
                     fn_constructor_kwargs={
                         "web": self.web,
                         "net_latency_sec": self.net_latency_sec,
+                        "requests_per_second": self.requests_per_second,
                     },
                     batch_format="pyarrow",
                     batch_size=None,

@@ -1460,16 +1460,19 @@ def _sql_crawl_documents() -> str:
 
 def q_crawl_documents(sf_dir: str):
     """The flagship crawl itself, summarized per fetched page; oracle =
-    golden-interpreter VALUES (see :func:`_sql_crawl_documents`)."""
+    golden-interpreter VALUES (see :func:`_sql_crawl_documents`).
+
+    The crawl runs on a FIXED 300-doc mini-web regardless of sf (the sf dir
+    only provides the relational tables; the mini-web is synthetic) — the
+    golden oracle embeds the identical web, so the two can never silently
+    diverge on a small/trimmed sf dir."""
     import pyarrow.compute as pc
 
     from crawler_ray.pipelines.crawl import CrawlEngine
-    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.sources.miniweb import MiniWeb
     from crawler_ray.stages.dedupe import mark_duplicates
 
-    web = miniweb_for_sf(sf_dir)
-    if web.n_docs > 300:
-        web = type(web)(n_docs=300)  # bound correctness-check runtime
+    web = MiniWeb(n_docs=300)
     engine = CrawlEngine(web, budget_per_host=32, max_rounds=48, seen_shards=2)
     result = engine.run()
     marked = mark_duplicates(result.pages)
@@ -1588,11 +1591,10 @@ def q_workflow_scrape(sf_dir: str):
     """Declarative crawl->scrape workflow over the mini-web; oracle =
     sequential replay VALUES (see :func:`_sql_workflow_scrape`)."""
     from crawler_ray.pipelines.workflow import WorkflowRunner
-    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.sources.miniweb import MiniWeb
 
-    web = miniweb_for_sf(sf_dir)
-    if web.n_docs > 100:
-        web = type(web)(n_docs=100)
+    # fixed 100-doc web: matches the sequential-replay oracle exactly
+    web = MiniWeb(n_docs=100)
     ctx = WorkflowRunner(web).run(
         [
             {
@@ -1680,11 +1682,10 @@ def q_workflow_api(sf_dir: str):
     fetch path (api_executor.py:21-229) as a workflow; oracle = sequential
     replay VALUES."""
     from crawler_ray.pipelines.workflow import WorkflowRunner
-    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.sources.miniweb import MiniWeb
 
-    web = miniweb_for_sf(sf_dir)
-    if web.n_docs > 100:
-        web = type(web)(n_docs=100)
+    # fixed 100-doc web: matches the sequential-replay oracle exactly
+    web = MiniWeb(n_docs=100)
     host = web.hosts()[0]
     ctx = WorkflowRunner(web).run(
         [
@@ -1724,12 +1725,10 @@ def q_media_decode(sf_dir: str):
     import ray.data as _rd
 
     from crawler_ray.pipelines.crawl import CrawlEngine
-    from crawler_ray.sources.miniweb import miniweb_for_sf
+    from crawler_ray.sources.miniweb import MiniWeb
     from crawler_ray.stages.media import MediaDecodeStage, media_rows_from_spans
 
-    web = miniweb_for_sf(sf_dir)
-    if web.n_docs > 100:
-        web = type(web)(n_docs=100)
+    web = MiniWeb(n_docs=100)
     res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
     return (
         res.pages.map_batches(media_rows_from_spans, batch_format="pyarrow")

@@ -223,7 +223,7 @@ def compute_marks(pages: "rd.Dataset", shuffle_blocks: int = 64) -> "rd.Dataset"
     )
 
     def _sim_bucket(t: pa.Table) -> pa.Table:
-        fp = from_signed(np.asarray(t["simhash"].to_pylist(), dtype=np.int64))
+        fp = from_signed(t["simhash"].to_numpy(zero_copy_only=False).astype(np.int64))
         b = (fp % np.uint64(N_DEDUP_BUCKETS)).astype(np.int64)
         return t.append_column("bucket", pa.array(b, type=pa.int64()))
 

@@ -39,6 +39,10 @@ class InstanceCrashError(Exception):
     browser_pool.py:44-56)."""
 
 
+class NoHealthyInstanceError(RuntimeError):
+    """Every instance is crashed and still inside its recovery backoff."""
+
+
 class FetchInstance:
     """One pooled instance (a browser, a session, a client).  Subclass or
     duck-type: ``fetch(url, retry_count) -> (status, body)`` raising
@@ -151,8 +155,22 @@ class FetcherPool:
         with self._lock:
             inst = self._least_loaded()
             if inst is None:
+                # every instance crashed: revive the ones past their
+                # recovery backoff (otherwise a crash reported DURING
+                # backoff would leave its slot dead forever — nothing else
+                # retries it)
+                now = self._clock()
+                for dead in list(self._instances):
+                    if not dead.is_healthy and not dead.in_recovery_backoff(
+                        self.backoff_base, now
+                    ):
+                        self._replace(dead, now)
+                inst = self._least_loaded()
+            if inst is None:
                 self._sem.release()
-                raise RuntimeError("no healthy fetch instances available")
+                raise NoHealthyInstanceError(
+                    "no healthy fetch instances available"
+                )
             inst.active_contexts += 1
             self.stats["acquired"] += 1
         return _Lease(self, inst)
@@ -173,9 +191,15 @@ class FetcherPool:
         with self._lock:
             self.stats["crashes"] += 1
             inst.is_healthy = False
+            if self._instances[inst.index] is not inst:
+                # a concurrent lease on the same instance already reported
+                # this crash and the slot holds a fresh replacement —
+                # replacing again would discard a healthy (possibly leased)
+                # backend
+                return
             now = self._clock()
             if inst.in_recovery_backoff(self.backoff_base, now):
-                return  # replacement deferred until backoff expires
+                return  # replacement deferred (acquire() revives post-backoff)
             self._replace(inst, now)
 
     def _replace(self, inst: _PooledInstance, now: float) -> None:
@@ -250,7 +274,11 @@ class PooledFetcher:
 
     def __init__(self, web, pool_size: int = 2, max_contexts_per: int = 4,
                  acquire_timeout: float = 10.0, crash_retries: int = 2,
-                 factory=None, net_latency_sec: float = 0.0) -> None:
+                 factory=None, net_latency_sec: float = 0.0,
+                 requests_per_second: float | None = None,
+                 burst: int = 10) -> None:
+        from crawler_ray.stages.fetch import TokenBucket
+
         self.crash_retries = crash_retries
         if factory is None:
             factory = lambda: SyntheticInstance(web, latency_sec=net_latency_sec)
@@ -258,25 +286,45 @@ class PooledFetcher:
             factory, pool_size=pool_size, max_contexts_per=max_contexts_per,
             acquire_timeout=acquire_timeout,
         )
+        # per-host wall-clock politeness pacing, same token-bucket semantics
+        # as SyntheticFetcher (crawl pre-slices one block per host in rps
+        # mode, so a host's requests serialize through one actor's buckets)
+        self.rps = requests_per_second
+        self.burst = burst
+        self._bucket_cls = TokenBucket
+        self._buckets: dict[str, object] = {}
+
+    def _pace(self, host: str) -> None:
+        if self.rps is None:
+            return
+        b = self._buckets.get(host)
+        if b is None:
+            b = self._buckets[host] = self._bucket_cls(self.rps, self.burst)
+        b.take()
 
     def _fetch_one(self, url: str, rc: int) -> tuple[int, str]:
-        last: Exception | None = None
         for _ in range(self.crash_retries + 1):
             try:
                 with self.pool.acquire() as inst:
                     inst.total_fetches += 1
                     return inst.backend.fetch(url, retry_count=rc)
-            except InstanceCrashError as e:
-                last = e  # instance replaced by the lease; retry on another
-        # crash persisted past retries -> surface as a retryable 5xx, the
-        # same contract the HTTP path uses for transient failures
+            except (InstanceCrashError, NoHealthyInstanceError, TimeoutError):
+                # instance replaced by the lease / pool exhausted: retry on
+                # another slot, then degrade to a retryable 5xx — the same
+                # contract the HTTP path uses for transient failures
+                continue
         return 503, ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         retries = batch["retry_count"].to_pylist()
+        hosts = (
+            batch["host"].to_pylist()
+            if "host" in batch.column_names else [""] * len(urls)
+        )
         statuses, htmls = [], []
-        for url, rc in zip(urls, retries):
+        for url, rc, host in zip(urls, retries, hosts):
+            self._pace(host)
             status, html = self._fetch_one(url, rc or 0)
             statuses.append(status)
             htmls.append(html)

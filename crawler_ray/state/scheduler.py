@@ -117,8 +117,12 @@ class Scheduler:
         always rescheduling from ``now`` (scheduled_job_processor.py:221-430)."""
         now = now or self.clock()
         caught_up = skipped = 0
+        failed_publish: set[str] = set()
         while True:
-            batch = self._due(now, self.batch_size)
+            batch = [
+                j for j in self._due(now, self.batch_size + len(failed_publish))
+                if j.job_id not in failed_publish
+            ][: self.batch_size]
             if not batch:
                 break
             for job in batch:
@@ -136,8 +140,13 @@ class Scheduler:
                         config=job.config,
                     ))
                     if not ok:
-                        # publish failed: leave the schedule due for retry
+                        # publish failed: leave the schedule due, but do NOT
+                        # re-drain it in this pass (a publisher outage with a
+                        # full batch of overdue jobs would otherwise spin
+                        # this loop forever) — the next tick retries it, as
+                        # the reference's 60 s cycle does
                         job.next_run_time = missed_time
+                        failed_publish.add(job.job_id)
                         continue
                     job.last_run_time = now
                     caught_up += 1

@@ -149,3 +149,19 @@ def test_scheduler_feeds_crawl_engine(ray_session):
     sched = Scheduler(jobs, submit, clock=lambda: T0)
     assert sched.process_due() == 1
     assert pages_by_job["crawl-hostA"] > 0
+
+
+def test_catchup_publish_outage_terminates():
+    """A publisher outage with a full batch of overdue jobs must not spin
+    the drain loop forever; failed jobs stay due for the NEXT tick."""
+    jobs = [
+        ScheduledJob(f"j{i}", "hostA", "*/5 * * * *",
+                     next_run_time=T0 - timedelta(minutes=10))
+        for i in range(12)
+    ]
+    sched, fired = make(jobs, submit_ok=False)
+    sched.batch_size = 4
+    caught, skipped = sched.handle_missed_schedules()
+    assert caught == 0 and skipped == 0
+    assert len(fired) == 12           # each attempted exactly once
+    assert all(j.next_run_time <= T0 for j in jobs)  # still due for retry
