@@ -117,9 +117,85 @@ def _fused_bucket(t: pa.Table) -> pa.Table:
     )
 
 
+# A (band, value) group of k fingerprints costs O(k^2) pairwise verify.
+# Groups above this size take the recursive pigeonhole path instead — still
+# EXACT, never quadratic in the hot-group size.
+HOT_GROUP_CAP = 256
+
+
+def _hamming64(fa: np.ndarray, fb: np.ndarray) -> np.ndarray:
+    xor = fa ^ fb
+    return np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=-1).sum(-1)
+
+
+def _pairs_exact(fps, ranks, idx, intervals, out):
+    """All index pairs (i, j) with full-fp Hamming <= MAX_HAMMING among
+    ``idx``, found EXACTLY without O(k^2) on hot groups.
+
+    ``intervals`` are (shift, width) bit ranges on which the group may still
+    differ.  Pigeonhole: a pair within total distance d <= MAX_HAMMING must
+    agree exactly on at least one of any MAX_HAMMING+1 disjoint chunks of
+    those bits — so a hot group splits into per-chunk-value subgroups and
+    recurses on the remaining bits.  Each level removes a chunk, so the
+    recursion terminates; when fewer than MAX_HAMMING+1 splittable bits
+    remain, distinct fingerprints in the group can differ only inside those
+    few bits, so the group is tiny and brute force is safe."""
+    k = len(idx)
+    if k < 2:
+        return
+    total_bits = sum(w for _, w in intervals)
+    if k <= HOT_GROUP_CAP or total_bits < MAX_HAMMING + 1:
+        f = fps[idx]
+        ii, jj = np.triu_indices(k, 1)
+        d = _hamming64(f[ii], f[jj])
+        keep = d <= MAX_HAMMING
+        for a, b, dd in zip(idx[ii[keep]], idx[jj[keep]], d[keep]):
+            out.append((a, b, int(dd)))
+        return
+    # split the remaining bits into MAX_HAMMING+1 chunks of intervals
+    flat = []
+    for shift, width in intervals:
+        flat.extend(range(shift, shift + width))
+    n_chunks = MAX_HAMMING + 1
+    per = -(-len(flat) // n_chunks)
+    for c in range(n_chunks):
+        bits = flat[c * per:(c + 1) * per]
+        if not bits:
+            continue
+        key = np.zeros(k, dtype=np.uint64)
+        for pos, b in enumerate(bits):
+            key |= ((fps[idx] >> np.uint64(b)) & np.uint64(1)) << np.uint64(pos)
+        rest = [x for x in flat if x not in set(bits)]
+        rest_intervals = _bits_to_intervals(rest)
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        bounds = np.flatnonzero(np.concatenate([[True], sk[1:] != sk[:-1], [True]]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                _pairs_exact(fps, ranks, idx[order[s:e]], rest_intervals, out)
+
+
+def _bits_to_intervals(bits: list[int]) -> list[tuple[int, int]]:
+    if not bits:
+        return []
+    bits = sorted(bits)
+    out = []
+    start = prev = bits[0]
+    for b in bits[1:]:
+        if b == prev + 1:
+            prev = b
+            continue
+        out.append((start, prev - start + 1))
+        start = prev = b
+    out.append((start, prev - start + 1))
+    return out
+
+
 def _band_pairs_bucket(t: pa.Table) -> pa.Table:
     """Per hash-bucket of (band, value) keys: vectorized self-join on the
-    band key, then pairwise Hamming verify on the matched pairs only."""
+    band key for normal-size groups, recursive pigeonhole sub-banding for
+    hot groups (exact; structured fingerprint corpora otherwise blow up
+    O(k^2) in a hot band value), then pairwise Hamming verify."""
     df = t.to_pandas()
     empty = pa.table(
         {
@@ -131,23 +207,64 @@ def _band_pairs_bucket(t: pa.Table) -> pa.Table:
     )
     if len(df) < 2:
         return empty
-    m = df.merge(df, on=["band", "val"], suffixes=("_a", "_b"))
-    m = m[m["rank_key_a"] < m["rank_key_b"]]
-    if m.empty:
+    sizes = df.groupby(["band", "val"], sort=False)["url_hash"].transform("size")
+    hot = df[sizes > HOT_GROUP_CAP]
+    df = df[sizes <= HOT_GROUP_CAP]
+
+    parts = []
+    if len(df) >= 2:
+        m = df.merge(df, on=["band", "val"], suffixes=("_a", "_b"))
+        m = m[m["rank_key_a"] < m["rank_key_b"]]
+        if not m.empty:
+            fa = from_signed(m["simhash_a"].to_numpy(dtype=np.int64))
+            fb = from_signed(m["simhash_b"].to_numpy(dtype=np.int64))
+            d = _hamming64(fa, fb)
+            keep = d <= MAX_HAMMING
+            parts.append(
+                pa.table(
+                    {
+                        "url_hash": pa.array(m["url_hash_b"].to_numpy()[keep], type=pa.string()),
+                        "dup_of": pa.array(m["url_hash_a"].to_numpy()[keep], type=pa.string()),
+                        "distance": pa.array(d[keep].astype(np.int64)),
+                        "a_rank": pa.array(m["rank_key_a"].to_numpy()[keep], type=pa.string()),
+                    }
+                )
+            )
+    if len(hot) >= 2:
+        width = 64 // N_BANDS
+        for (band, _val), g in hot.groupby(["band", "val"], sort=False):
+            fps = from_signed(g["simhash"].to_numpy(dtype=np.int64))
+            ranks = g["rank_key"].to_numpy()
+            hashes = g["url_hash"].to_numpy()
+            # bits outside the matched band are where members still differ
+            intervals = _bits_to_intervals(
+                [b for b in range(64)
+                 if not (band * width <= b < (band + 1) * width)]
+            )
+            found: list[tuple[int, int, int]] = []
+            _pairs_exact(fps, ranks, np.arange(len(g)), intervals, found)
+            if not found:
+                continue
+            ai = np.array([f[0] for f in found])
+            bi = np.array([f[1] for f in found])
+            dd = np.array([f[2] for f in found], dtype=np.int64)
+            # orient each pair by rank (earlier page is the dup target)
+            swap = ranks[ai] > ranks[bi]
+            ai2 = np.where(swap, bi, ai)
+            bi2 = np.where(swap, ai, bi)
+            parts.append(
+                pa.table(
+                    {
+                        "url_hash": pa.array(hashes[bi2], type=pa.string()),
+                        "dup_of": pa.array(hashes[ai2], type=pa.string()),
+                        "distance": pa.array(dd),
+                        "a_rank": pa.array(ranks[ai2], type=pa.string()),
+                    }
+                )
+            )
+    if not parts:
         return empty
-    fa = from_signed(m["simhash_a"].to_numpy(dtype=np.int64))
-    fb = from_signed(m["simhash_b"].to_numpy(dtype=np.int64))
-    xor = fa ^ fb
-    d = np.unpackbits(xor.view(np.uint8).reshape(len(m), 8), axis=-1).sum(-1)
-    keep = d <= MAX_HAMMING
-    return pa.table(
-        {
-            "url_hash": pa.array(m["url_hash_b"].to_numpy()[keep], type=pa.string()),
-            "dup_of": pa.array(m["url_hash_a"].to_numpy()[keep], type=pa.string()),
-            "distance": pa.array(d[keep].astype(np.int64)),
-            "a_rank": pa.array(m["rank_key_a"].to_numpy()[keep], type=pa.string()),
-        }
-    )
+    return pa.concat_tables(parts)
 
 
 def _best_match_bucket(t: pa.Table) -> pa.Table:

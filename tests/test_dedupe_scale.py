@@ -139,3 +139,49 @@ def test_join_paths_collect_nothing_on_driver(ray_session, monkeypatch):
     monkeypatch.setattr(q, "MINHASH_BROADCAST_CANDIDATES", 0)
     assert q.q_doc_minhash_pairs("/root/testdata/sf0.001").count() > 0
     assert collected["rows"] == 0
+
+
+def test_hot_band_group_pairs_are_exact(ray_session):
+    """Structured fingerprints that pile thousands of DISTINCT fps into one
+    (band, value) group must not go O(k^2) — and the recursive pigeonhole
+    path must find exactly the same duplicate marks as brute force."""
+    import pyarrow as pa
+
+    from crawler_ray.stages import dedupe as dd
+
+    rng = np.random.default_rng(3)
+    n = 1200
+    base = np.uint64(0xABCD_0000_0000_0000)
+    # all fps share band3 (top 16 bits); differ in scattered low bits
+    fps = base | rng.integers(0, 1 << 30, n).astype(np.uint64)
+    fps = np.unique(fps)
+    n = len(fps)
+    t = pa.table(
+        {
+            "url_hash": pa.array([f"u{i:05d}" for i in range(n)]),
+            "content_hash": pa.array([f"c{i}" for i in range(n)]),
+            "simhash": pa.array(fps.view(np.int64)),
+            "round": pa.array(np.zeros(n, dtype=np.int32)),
+            "score": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    pages = rd.from_arrow(t)
+    got = (
+        mark_duplicates(pages).to_pandas()
+        .sort_values("url_hash").reset_index(drop=True)
+    )
+    # brute-force expectation (reference semantics on distinct-content fps)
+    exp_dup = {}
+    for j in range(n):
+        best = None
+        for i in range(j):
+            d = bin(int(fps[i] ^ fps[j])).count("1")
+            if d <= dd.MAX_HAMMING and (best is None or d < best[0]):
+                best = (d, i)
+        if best is not None:
+            exp_dup[f"u{j:05d}"] = (f"u{best[1]:05d}",
+                                    max(0, min(100, int((1 - best[0] / 64) * 100))))
+    assert int(got["is_duplicate"].sum()) == len(exp_dup)
+    for _, row in got[got["is_duplicate"]].iterrows():
+        want = exp_dup[row["url_hash"]]
+        assert (row["duplicate_of"], row["similarity_score"]) == want
