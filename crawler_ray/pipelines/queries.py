@@ -1720,8 +1720,10 @@ def q_workflow_api(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Crawl -> media spans -> actor-pool decode (rows-only: multimodal
-    plumbing; deterministic synth codec)."""
+    """Crawl -> media spans -> actor-pool decode (rows-only: the payloads
+    are REAL spec-conformant PNG bytes and codec="png" performs an actual
+    stdlib decode — chunk walk, CRC checks, filter reconstruction — not a
+    fake; see crawler_ray/functions/png.py)."""
     import ray.data as _rd
 
     from crawler_ray.pipelines.crawl import CrawlEngine
@@ -1734,7 +1736,7 @@ def q_media_decode(sf_dir: str):
         res.pages.map_batches(media_rows_from_spans, batch_format="pyarrow")
         .map_batches(
             MediaDecodeStage,
-            fn_constructor_kwargs={"codec": "synth"},
+            fn_constructor_kwargs={"codec": "png"},
             batch_size=32, concurrency=2, num_cpus=1, batch_format="pyarrow",
         )
         .select_columns(["media_ref", "kind", "n_bytes", "thumb_h", "thumb_w"])

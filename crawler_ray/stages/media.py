@@ -6,10 +6,13 @@ from the page row (``/root/reference/crawler/services/storage.py:16-104``,
 same shape generalizes to image/audio/video payloads: an opaque ``binary``
 column plus typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are stubs behind ``MediaCodecUnavailable`` with a deterministic fake
-("synth" codec) used by tests — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested:
+PIL/ffmpeg are NOT in this container, but PNG needs only stdlib zlib — so
+the pipeline carries REAL spec-conformant PNG bytes end-to-end
+(:mod:`crawler_ray.functions.png`): payloads are genuine encoded images and
+``codec="png"`` performs an actual decode (chunk walk, CRC checks, filter
+reconstruction).  ``codec="pil"``/``"ffmpeg"`` still raise
+``MediaCodecUnavailable`` (JPEG/video need external libraries); the
+``"synth"`` keystream codec remains for plumbing tests:
 
 - media rows: (media_ref, kind, payload: binary, width/height/duration
   metadata);
@@ -55,15 +58,28 @@ def synth_payload(media_ref: str, n_bytes: int = 4096) -> bytes:
     return bytes(out[:n_bytes])
 
 
-def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096) -> pa.Table:
+def png_payload(media_ref: str, h: int = 48, w: int = 64) -> bytes:
+    """Deterministic REAL PNG payload (stdlib codec) keyed by media_ref —
+    the sandbox stand-in for fetching the image blob."""
+    from crawler_ray.functions.png import encode_png_gray, synth_image
+
+    return encode_png_gray(synth_image(media_ref, h, w))
+
+
+def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096,
+                          payload_codec: str = "png") -> pa.Table:
     """pages(spans) -> media table rows (one per media span), payload
-    "fetched" via the deterministic synth blob store."""
+    "fetched" via the deterministic blob store (real PNG bytes by
+    default)."""
     refs = []
     for spans in batch["spans"].to_pylist():
         for s in spans or []:
             if s["kind"] == "media" and s["media_ref"]:
                 refs.append(s["media_ref"])
-    payloads = [synth_payload(r, payload_bytes) for r in refs]
+    if payload_codec == "png":
+        payloads = [png_payload(r) for r in refs]
+    else:
+        payloads = [synth_payload(r, payload_bytes) for r in refs]
     return pa.table(
         {
             "media_ref": pa.array(refs, type=pa.string()),
@@ -93,18 +109,39 @@ class MediaDecodeStage:
 
     REAL_CODECS = ("pil", "ffmpeg")
 
-    def __init__(self, codec: str = "synth", target_size: tuple[int, int] = (8, 8),
+    def __init__(self, codec: str = "png", target_size: tuple[int, int] = (8, 8),
                  feature_dim: int = 16) -> None:
         if codec in self.REAL_CODECS:
             raise MediaCodecUnavailable(
                 f"codec {codec!r} needs libraries not present in this sandbox; "
-                "use codec='synth' for the deterministic fake"
+                "use codec='png' (real stdlib decode) or codec='synth'"
             )
-        if codec != "synth":
+        if codec not in ("png", "synth"):
             raise ValueError(f"unknown codec {codec!r}")
         self.codec = codec
         self.target_size = target_size
         self.feature_dim = feature_dim
+        if codec == "png":
+            from crawler_ray.functions.png import decode_png_gray
+
+            self._decode_png = decode_png_gray  # bound once per actor
+
+    def _decode_png_one(self, payload: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """REAL decode: parse + inflate + unfilter, then mean-pool resize to
+        target_size and derive a brightness-histogram feature vector."""
+        img = self._decode_png(payload)
+        ih, iw = img.shape
+        h, w = self.target_size
+        ys = (np.arange(h + 1) * ih) // h
+        xs = (np.arange(w + 1) * iw) // w
+        thumb = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            rows = img[ys[y]:max(ys[y] + 1, ys[y + 1])]
+            for x in range(w):
+                thumb[y, x] = int(rows[:, xs[x]:max(xs[x] + 1, xs[x + 1])].mean())
+        hist, _ = np.histogram(img, bins=self.feature_dim, range=(0, 256))
+        feat = (hist / hist.sum()).astype(np.float32)
+        return thumb, feat, ih, iw
 
     def _decode_one(self, payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         h, w = self.target_size
@@ -119,11 +156,17 @@ class MediaDecodeStage:
         return thumb, feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        thumbs, feats = [], []
+        thumbs, feats, img_hs, img_ws = [], [], [], []
         for payload in batch["payload"].to_pylist():
-            t, f = self._decode_one(payload)
+            if self.codec == "png":
+                t, f, ih, iw = self._decode_png_one(payload)
+            else:
+                t, f = self._decode_one(payload)
+                ih, iw = self.target_size
             thumbs.append(t.reshape(-1).tolist())
             feats.append(f.tolist())
+            img_hs.append(ih)
+            img_ws.append(iw)
         h, w = self.target_size
         return (
             batch.drop_columns(["payload"])  # decoded output: drop the wide column
@@ -131,4 +174,6 @@ class MediaDecodeStage:
             .append_column("features", pa.array(feats, type=pa.list_(pa.float32())))
             .append_column("thumb_h", pa.array([h] * len(batch), type=pa.int32()))
             .append_column("thumb_w", pa.array([w] * len(batch), type=pa.int32()))
+            .append_column("img_h", pa.array(img_hs, type=pa.int32()))
+            .append_column("img_w", pa.array(img_ws, type=pa.int32()))
         )

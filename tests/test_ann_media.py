@@ -62,7 +62,13 @@ def test_media_pipeline(ray_session):
     pages = pa.table({"spans": pa.array(spans)})
     media = media_rows_from_spans(pages)
     assert media.num_rows == 10
-    assert media["n_bytes"].to_pylist() == [4096] * 10
+    # payloads are now REAL PNG bytes (size varies with content)
+    from crawler_ray.functions.png import decode_png_gray
+
+    assert media["n_bytes"].to_pylist() == [
+        len(p) for p in media["payload"].to_pylist()
+    ]
+    assert decode_png_gray(media["payload"].to_pylist()[0]).shape == (48, 64)
     # deterministic payloads
     assert synth_payload("a") == synth_payload("a") != synth_payload("b")
 
