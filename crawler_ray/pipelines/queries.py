@@ -1095,6 +1095,76 @@ def q_doc_minhash_pairs(sf_dir: str):
     return _verify_candidates(candidates, sf_dir)
 
 
+DECONTAM_K = 5          # n-gram length for contamination matching
+DECONTAM_BENCH_DOCS = 50  # doc_id < K = the "benchmark" set stand-in
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Training-data decontamination: flag corpus documents sharing at
+    least one 5-token n-gram with a benchmark set (docs with doc_id <
+    DECONTAM_BENCH_DOCS stand in for the eval suite).  The benchmark
+    n-gram set is a GENUINELY small side (eval suites are tiny next to a
+    100 TB corpus): built distributed, collected once, broadcast via
+    ray.put, and probed per batch — no shuffle of the corpus."""
+    from crawler_ray.functions.text import shingles_of, tokens_of
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(bt: pa.Table) -> pa.Table:
+        grams = set()
+        for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
+            if d < DECONTAM_BENCH_DOCS:
+                grams.update(shingles_of(tokens_of(t), DECONTAM_K))
+        return pa.table({"gram": pa.array(sorted(grams), type=pa.string())})
+
+    bench = set()
+    for row in ds.map_batches(bench_grams, batch_format="pyarrow").take_all():
+        bench.add(row["gram"])
+    ref = ray.put(frozenset(bench))
+
+    def flag(bt: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        ids, n_over = [], []
+        for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
+            if d < DECONTAM_BENCH_DOCS:
+                continue  # the benchmark itself is not scored
+            ids.append(int(d))
+            n_over.append(len(shingles_of(tokens_of(t), DECONTAM_K) & grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_overlapping": pa.array(n_over, type=pa.int64()),
+                "contaminated": pa.array([n > 0 for n in n_over]),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+               || ' ' || ts[i+4] AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM toks)
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 50),
+corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id >= 50)
+SELECT d.doc_id,
+       COALESCE(o.n, 0) AS n_overlapping,
+       COALESCE(o.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+LEFT JOIN (
+  SELECT c.doc_id, COUNT(*) AS n
+  FROM corpus c JOIN bench b ON c.gram = b.gram
+  GROUP BY c.doc_id
+) o ON d.doc_id = o.doc_id
+"""
+
+
 def q_doc_simhash_bands(sf_dir: str):
     """Simhash fingerprints + LSH band keys per doc (reference M6 map,
     /root/reference/crawler/utils/simhash.py:104-146).  The DuckDB oracle
@@ -1766,6 +1836,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_decontaminate": q_doc_decontaminate,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_bands": q_doc_simhash_bands,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1806,6 +1877,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_jaccard_pairs": SQL_JACCARD_PAIRS,
+        "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_minhash_pairs": SQL_JACCARD_PAIRS,
         "knn_bruteforce": SQL_KNN,
         "emb_similar_pairs": SQL_EMB_PAIRS,
