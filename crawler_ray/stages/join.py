@@ -38,6 +38,21 @@ import ray.data as rd
 DEFAULT_BUCKETS = 32
 
 
+def _arrow_types(ds: "rd.Dataset") -> dict:
+    """Column -> pa.DataType for a dataset, tolerating pandas-block schemas
+    (numpy dtypes).  Object columns are assumed string — callers with
+    nested object payloads should hand in Arrow-block datasets."""
+    sch = ds.schema()
+    out = {}
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        else:
+            dt = np.dtype(t)
+            out[n] = pa.string() if dt == object else pa.from_numpy_dtype(dt)
+    return out
+
+
 def bucket_ids(values, n_buckets: int) -> np.ndarray:
     """Deterministic vectorized hash-bucket assignment for a key column.
 
@@ -119,8 +134,17 @@ def hash_join(
 
     lcols = left.schema().names
     rcols = right.schema().names
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    # the merged column layout (pandas suffix rules), for typed empty blocks
+    out_fields = [(c, ltypes[c]) for c in lcols]
+    for c in rcols:
+        if c == right_key and (right_key != left_key or c in lcols):
+            continue
+        out_fields.append((c + "__r" if c in lcols else c, rtypes[c]))
+    empty_schema = pa.schema(out_fields)
 
-    def join_bucket(t: pa.Table) -> pd.DataFrame:
+    def join_bucket(t: pa.Table):
         lrows = _unpack_side(t, "l", lcols)
         rrows = _unpack_side(t, "r", rcols)
         merged = lrows.merge(
@@ -129,6 +153,10 @@ def hash_join(
         )
         if right_key != left_key and right_key in merged.columns:
             merged = merged.drop(columns=[right_key])
+        if merged.empty:
+            # a typed empty block: all-empty results would otherwise lose
+            # the output schema entirely (schema-less dataset downstream)
+            return empty_schema.empty_table()
         return _listify(merged)
 
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -154,12 +182,10 @@ def attach_unique(
     null-masked Arrow ``take``, so wide payloads (span lists, shingle
     lists) move zero-copy end-to-end.  ``how`` is "left" (unmatched left
     rows keep null payloads) or "inner"."""
-    lsch = left.schema()
-    rsch = right.schema()
-    ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = dict(zip(rsch.names, rsch.types))
-    lcols = lsch.names
-    rcols = [c for c in rsch.names if c != right_key]
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    lcols = left.schema().names
+    rcols = [c for c in right.schema().names if c != right_key]
     clash = set(rcols) & set(lcols)
     if clash:
         raise ValueError(f"attach_unique payload column collision: {clash}")
