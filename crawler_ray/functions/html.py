@@ -76,6 +76,11 @@ _TIMESTAMP_GUARDS = [
     ("view", "like", "comment", "read"),
     ("ago",),
 ]
+# guards are coupled to TIMESTAMP_RES by position only — a pattern added
+# without a guard entry would be silently skipped by zip truncation
+assert len(_TIMESTAMP_GUARDS) == len(TIMESTAMP_RES), (
+    "every TIMESTAMP_RES pattern needs a guard entry (or None)"
+)
 
 
 def scrub_timestamps(text: str) -> str:

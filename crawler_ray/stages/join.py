@@ -58,16 +58,47 @@ def bucket_ids(values, n_buckets: int) -> np.ndarray:
 
     ``pd.util.hash_array`` uses a fixed default hash key, so results agree
     across worker processes (required: both join sides bucket independently).
+    The value dtype is normalized first (ints -> int64, floats -> float64,
+    strings/objects -> object): hash_array hashes raw dtype bits, so the
+    same logical key in different widths (int32 -1 vs int64 -1) would
+    otherwise land in different buckets and silently drop matches.
     """
     arr = np.asarray(values)
     if arr.dtype == object or arr.dtype.kind in ("U", "S"):
         arr = np.asarray(values, dtype=object)
+    elif arr.dtype.kind in ("i", "u", "b"):
+        arr = arr.astype(np.int64, copy=False)
+    elif arr.dtype.kind == "f":
+        arr = arr.astype(np.float64, copy=False)
     h = pd.util.hash_array(arr, categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _with_bucket(ds: "rd.Dataset", key: str, side: str, n_buckets: int) -> "rd.Dataset":
+def _unify_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
+    """One Arrow type both sides' key columns are cast to before bucketing
+    and matching, so cross-dtype joins (int32 vs int64, int vs float) agree
+    bucket-wise and value-wise."""
+    if lt == rt:
+        return lt
+    if pa.types.is_floating(lt) or pa.types.is_floating(rt):
+        return pa.float64()
+    if pa.types.is_integer(lt) and pa.types.is_integer(rt):
+        return pa.int64()
+    if pa.types.is_string(lt) and pa.types.is_string(rt):
+        return pa.string()
+    raise TypeError(f"join key types are not unifiable: {lt} vs {rt}")
+
+
+def _with_bucket(
+    ds: "rd.Dataset", key: str, side: str, n_buckets: int,
+    key_type: pa.DataType | None = None,
+) -> "rd.Dataset":
     def tag(t: pa.Table) -> pa.Table:
+        if key_type is not None and t.schema.field(key).type != key_type:
+            # normalize the key dtype BEFORE hashing: both sides must agree
+            t = t.set_column(
+                t.column_names.index(key), key, t[key].cast(key_type)
+            )
         b = bucket_ids(t[key].to_numpy(zero_copy_only=False), n_buckets)
         return t.append_column(
             "__bucket", pa.array(b, type=pa.int64())
@@ -124,22 +155,48 @@ def hash_join(
 ) -> "rd.Dataset":
     """Partitioned hash join; output columns = left columns + right columns
     (right key column dropped when names differ).  Column name collisions
-    other than the keys must be resolved by the caller beforehand."""
-    lt = _with_bucket(left, left_key, "l", n_buckets)
-    rt = _with_bucket(right, right_key, "r", n_buckets)
+    other than the keys must be resolved by the caller beforehand.  Key
+    columns are normalized to one unified dtype (int32 vs int64 etc.) so
+    both sides bucket and match consistently."""
+    ltypes = _arrow_types(left)
+    rtypes = _arrow_types(right)
+    key_type = _unify_key_type(ltypes[left_key], rtypes[right_key])
+    ltypes[left_key] = key_type
+
+    lcols = left.schema().names
+    rcols = right.schema().names
+    # When right_key collides with a NON-KEY left column, the packed-struct
+    # union would merge two same-named fields of possibly different types
+    # (fatal), and the post-merge drop would hit the LEFT column.  Rename
+    # right's key to a reserved name up front — it is dropped from the
+    # output anyway whenever the key names differ.
+    rk_eff = right_key
+    if right_key != left_key and right_key in lcols:
+        rk_eff = "__rkey__"
+        if rk_eff in lcols or rk_eff in rcols:
+            raise ValueError("column name '__rkey__' is reserved by hash_join")
+        idx = rcols.index(right_key)
+        renamed = rcols.copy()
+        renamed[idx] = rk_eff
+        right = right.map_batches(
+            lambda t, names=renamed: t.rename_columns(names),
+            batch_format="pyarrow",
+        )
+        rtypes[rk_eff] = rtypes.pop(right_key)
+        rcols = renamed
+    rtypes[rk_eff] = key_type
+
+    lt = _with_bucket(left, left_key, "l", n_buckets, key_type)
+    rt = _with_bucket(right, rk_eff, "r", n_buckets, key_type)
 
     both = lt.map_batches(_pack, batch_format="pyarrow").union(
         rt.map_batches(_pack, batch_format="pyarrow")
     )
 
-    lcols = left.schema().names
-    rcols = right.schema().names
-    ltypes = _arrow_types(left)
-    rtypes = _arrow_types(right)
     # the merged column layout (pandas suffix rules), for typed empty blocks
     out_fields = [(c, ltypes[c]) for c in lcols]
     for c in rcols:
-        if c == right_key and (right_key != left_key or c in lcols):
+        if c == rk_eff:
             continue
         out_fields.append((c + "__r" if c in lcols else c, rtypes[c]))
     empty_schema = pa.schema(out_fields)
@@ -148,11 +205,11 @@ def hash_join(
         lrows = _unpack_side(t, "l", lcols)
         rrows = _unpack_side(t, "r", rcols)
         merged = lrows.merge(
-            rrows, left_on=left_key, right_on=right_key, how=how,
+            rrows, left_on=left_key, right_on=rk_eff, how=how,
             suffixes=("", "__r"),
         )
-        if right_key != left_key and right_key in merged.columns:
-            merged = merged.drop(columns=[right_key])
+        if rk_eff != left_key and rk_eff in merged.columns:
+            merged = merged.drop(columns=[rk_eff])
         if merged.empty:
             # a typed empty block: all-empty results would otherwise lose
             # the output schema entirely (schema-less dataset downstream)
@@ -210,7 +267,12 @@ def attach_unique(
                 else:
                     cols[name] = pa.nulls(n, typ)
             out = pa.table(cols)
-            b = bucket_ids(t[key].to_numpy(zero_copy_only=False), n_buckets)
+            # bucket on the CAST key values: hashing the raw column would
+            # route the same logical key to different buckets when the two
+            # sides carry different key dtypes
+            b = bucket_ids(
+                out["__key"].to_numpy(zero_copy_only=False), n_buckets
+            )
             return out.append_column("__bucket", pa.array(b, type=pa.int64()))
 
         return fn
@@ -264,8 +326,9 @@ def asof_join(
     ASOF JOIN semantics).  Left rows without a match are dropped (inner)."""
     lk, rk = key
     lt_col, rt_col = time
-    lt = _with_bucket(left, lk, "l", n_buckets)
-    rt = _with_bucket(right, rk, "r", n_buckets)
+    key_type = _unify_key_type(_arrow_types(left)[lk], _arrow_types(right)[rk])
+    lt = _with_bucket(left, lk, "l", n_buckets, key_type)
+    rt = _with_bucket(right, rk, "r", n_buckets, key_type)
 
     both = lt.map_batches(_pack, batch_format="pyarrow").union(
         rt.map_batches(_pack, batch_format="pyarrow")

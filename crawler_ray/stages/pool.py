@@ -302,8 +302,11 @@ class PooledFetcher:
             b = self._buckets[host] = self._bucket_cls(self.rps, self.burst)
         b.take()
 
-    def _fetch_one(self, url: str, rc: int) -> tuple[int, str]:
+    def _fetch_one(self, url: str, rc: int, host: str) -> tuple[int, str]:
         for _ in range(self.crash_retries + 1):
+            # pace EVERY backend attempt: a crash retry is still a request
+            # against the host, so it must consume a politeness token too
+            self._pace(host)
             try:
                 with self.pool.acquire() as inst:
                     inst.total_fetches += 1
@@ -324,8 +327,7 @@ class PooledFetcher:
         )
         statuses, htmls = [], []
         for url, rc, host in zip(urls, retries, hosts):
-            self._pace(host)
-            status, html = self._fetch_one(url, rc or 0)
+            status, html = self._fetch_one(url, rc or 0, host)
             statuses.append(status)
             htmls.append(html)
         return batch.append_column(

@@ -105,3 +105,46 @@ def test_attach_unique_rejects_payload_collision(ray_session):
     r = rd.from_pandas(pd.DataFrame({"k": [1], "w": [3]}))
     with pytest.raises(ValueError, match="collision"):
         attach_unique(l, r, "k", "k")
+
+
+def test_hash_join_cross_dtype_keys_match(ray_session):
+    """int32 left key vs int64 right key (incl. negatives, whose raw-bit
+    hashes differ by width) must still join: keys are normalized to one
+    unified dtype before bucketing."""
+    left = pd.DataFrame({"k": np.array([-1, 0, 3, 7], dtype=np.int32),
+                         "v": np.arange(4)})
+    right = pd.DataFrame({"rk": np.array([-1, 3, 9], dtype=np.int64),
+                          "w": ["a", "b", "c"]})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  "k", "rk", n_buckets=8, how="inner")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(got["k"]) == [-1, 3]
+    assert list(got["w"]) == ["a", "b"]
+
+
+def test_attach_unique_cross_dtype_keys_match(ray_session):
+    left = pd.DataFrame({"k": np.array([-1, 5, 8], dtype=np.int64), "v": [1, 2, 3]})
+    right = pd.DataFrame({"rk": np.array([-1, 8], dtype=np.int32), "w": ["x", "y"]})
+    got = (
+        attach_unique(rd.from_pandas(left), rd.from_pandas(right),
+                      "k", "rk", n_buckets=8, how="left")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(got["w"].fillna("-")) == ["x", "-", "y"]
+
+
+def test_hash_join_right_key_collides_with_left_payload(ray_session):
+    """right_key shares its name with a NON-KEY left column: pandas suffixes
+    right's key to rk__r, and the drop must remove THAT, not left's rk."""
+    left = pd.DataFrame({"k": [1, 2], "rk": ["keep_a", "keep_b"]})
+    right = pd.DataFrame({"rk": [1, 2], "w": [10, 20]})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                  "k", "rk", n_buckets=4, how="inner")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert sorted(got.columns) == ["k", "rk", "w"]
+    assert list(got["rk"]) == ["keep_a", "keep_b"]  # LEFT's column survives
+    assert list(got["w"]) == [10, 20]
