@@ -20,12 +20,20 @@ as a streaming Dataset program per round:
     next frontier = (frontier \\ selected) ∪ retries ∪ new
 
 Scale notes (10^10-URL design, tested single-node):
-- The only all-to-all exchanges per round are the final top-B groupby (over
-  per-block partial winners only) and the round-local link dedup groupby
-  (over one round's discoveries only); the frontier itself never shuffles.
-- The selected set's url_hashes are collected to the driver to subtract them
-  from the frontier and to record crawl order — bounded by the politeness
-  budget (budget * active hosts), not by data size.
+- The frontier itself never shuffles; per-round exchanges are bounded by the
+  politeness budget (selection) or the round's discoveries (link dedup,
+  reduced inside the seen shards rather than a groupby).
+- Discoveries NEVER materialize on the driver: parse tasks ship candidate
+  links to the seen shards as Arrow blocks; each shard resolves its
+  round-local first-wins pool into an Arrow frontier block returned by
+  ObjectRef, and the next frontier is assembled with ``from_arrow_refs`` —
+  the driver holds O(shards) refs (asserted by
+  tests/test_crawl_scale_driver.py via the ``_driver_rows`` counter).
+- Two selection modes (``selection=``): "driver" collects the <= B x hosts
+  x blocks partial winners (budget-bounded; zero extra shuffles);
+  "distributed" broadcasts per-host (cut_score, cut_hash) thresholds — the
+  driver sees O(hosts) rows and the selected set streams into the fetch
+  stage (the mode for millions of polite hosts).
 - The seen set lives in sharded actors (state/seen.py): the cuckoo backend
   costs ~2 bytes/key => a 10^10-URL seen set is ~20 GB across a cluster's
   shards; the exact backend gives byte-exact conformance at test scale.
@@ -51,6 +59,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from crawler_ray.functions.url import normalize_and_hash
@@ -97,6 +106,91 @@ def _empty_frontier() -> pa.Table:
     return pa.table({n: pa.array([], type=t) for n, t in FRONTIER_FIELDS})
 
 
+def _threshold_mask(t: pa.Table, thr: tuple[dict, dict], rr: int) -> pa.Array:
+    """Vectorized per-row "is selected" mask from broadcast per-host
+    thresholds: runnable AND (score, url_hash) <= (cut_score, cut_hash).
+
+    Host->cutoff mapping via a pandas hashtable map; the (score, hash)
+    lexicographic compare runs as Arrow kernels (string compare included).
+    Hosts absent from the threshold table yield null cutoffs; null compares
+    propagate and are filled False (not selected).
+    """
+    thr_score, thr_hash = thr
+    hosts = t["host"].to_pandas()
+    cs = pa.array(hosts.map(thr_score).astype("float64"), from_pandas=True)
+    ch = pa.array(hosts.map(thr_hash), type=pa.string(), from_pandas=True)
+    runnable = pc.less_equal(t["not_before_round"], rr)
+    score_f = pc.cast(t["score"], pa.float64())  # scores < 2^53: exact
+    sel = pc.and_kleene(
+        runnable,
+        pc.or_kleene(
+            pc.less(score_f, cs),
+            pc.and_kleene(
+                pc.equal(score_f, cs), pc.less_equal(t["url_hash"], ch)
+            ),
+        ),
+    )
+    return pc.fill_null(sel, False)
+
+
+def _retryable_masks(t: pa.Table, max_retries: int):
+    """(retryable, re-enqueue) masks over a failed-rows table."""
+    retryable = pc.or_(
+        pc.equal(t["status"], 429), pc.greater_equal(t["status"], 500)
+    )
+    again = pc.and_(retryable, pc.less(t["retry_count"], max_retries))
+    return retryable, again
+
+
+def _retry_frontier_rows(t: pa.Table, r: int, max_retries: int) -> pa.Table:
+    """Vectorized retry re-enqueue: failed rows -> FRONTIER rows with
+    exponential backoff (min(2^retry_count, 8) rounds, golden spec)."""
+    _, again = _retryable_masks(t, max_retries)
+    f = t.filter(again)
+    n = len(f)
+    rc = pc.cast(f["retry_count"], pa.int32())
+    backoff = pc.min_element_wise(
+        pc.shift_left(pa.scalar(1, pa.int32()), rc), pa.scalar(8, pa.int32())
+    )
+    return pa.table(
+        {
+            "url": f["url"],
+            "url_hash": f["url_hash"],
+            "host": f["host"],
+            "priority": pa.array([PRIORITY_RETRY] * n, type=pa.int32()),
+            "score": pa.array(
+                [score_of(PRIORITY_RETRY, r + 1)] * n, type=pa.int64()
+            ),
+            "discovery_round": pa.array([r + 1] * n, type=pa.int32()),
+            "not_before_round": pc.cast(
+                pc.add(backoff, pa.scalar(r + 1, pa.int32())), pa.int32()
+            ),
+            "retry_count": pc.cast(pc.add(rc, 1), pa.int32()),
+            "lineage": f["lineage"],
+        }
+    ).cast(FRONTIER_SCHEMA)
+
+
+def _dlq_table(t: pa.Table, r: int, max_retries: int) -> pa.Table:
+    """Vectorized dead-letter rows: non-retryable or retry-exhausted."""
+    _, again = _retryable_masks(t, max_retries)
+    f = t.filter(pc.invert(again))
+    retryable_f, _ = _retryable_masks(f, max_retries)
+    cat = pc.if_else(
+        retryable_f, pa.scalar("server_error"), pa.scalar("not_found")
+    )
+    return pa.table(
+        {
+            "url": f["url"],
+            "url_hash": f["url_hash"],
+            "status": f["status"],
+            "round": pa.array([r] * len(f), type=pa.int32()),
+            "error_category": cat,
+            "retry_count": f["retry_count"],
+        }
+    )
+
+
 @dataclass
 class CrawlResult:
     pages: "rd.Dataset"          # parsed pages incl. spans (no dup marks yet)
@@ -129,6 +223,9 @@ class CrawlEngine:
         record_history: bool = False,
         fetch_backend: str = "synthetic",   # "synthetic" | "pooled"
         cancel_check=None,                  # () -> bool; polled between stages
+        selection: str = "driver",          # "driver" | "distributed"
+        seen_ttl: float | None = None,      # dedup window in seconds (ref: 24 h)
+        clock=None,                         # () -> float; injectable for tests
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -158,6 +255,35 @@ class CrawlEngine:
         # state O(budget x hosts) per round; order/seen deltas stream to the
         # per-round checkpoint files (order.json / seen_delta.json) instead.
         self.record_history = record_history
+        # Selection mode:
+        # - "driver"      (default): the <= B*hosts*blocks partial winners are
+        #   collected and the final per-host head(B) runs in pandas.  Zero
+        #   extra shuffles per round; driver work is O(budget x active hosts)
+        #   — the same rows that will be fetched this round anyway.
+        # - "distributed": only per-host selection THRESHOLDS (the B-th
+        #   smallest (score, url_hash) per host, computed in a
+        #   groupby(host).map_groups over the partial winners) reach the
+        #   driver — O(hosts) rows.  Selection and frontier subtraction
+        #   become broadcast-threshold filters and the selected set streams
+        #   straight into the fetch stage.  The mode for frontiers with
+        #   millions of polite hosts, at the price of one extra (small)
+        #   shuffle per round.  Exact: (score, url_hash) is unique per host,
+        #   so "<= threshold" reproduces top-B bit-for-bit.
+        if selection not in ("driver", "distributed"):
+            raise ValueError(f"unknown selection mode: {selection!r}")
+        if selection == "distributed" and requests_per_second is not None:
+            # wall-clock politeness needs one block per host through a
+            # single token bucket; that slicing is inherently driver-side
+            raise ValueError(
+                "selection='distributed' does not support requests_per_second; "
+                "use budget-discretized politeness (the scale mode)"
+            )
+        self.selection = selection
+        # Diagnostic: rows of per-URL data materialized onto the driver.
+        # Scale invariant (asserted by tests/test_crawl_scale_driver.py):
+        # bounded by budget x hosts x rounds + O(shards + hosts), NEVER by
+        # the number of discovered links.
+        self._driver_rows = 0
         self.debug_timing = bool(os.environ.get("CRAWL_DEBUG_TIMING"))
         try:
             import ray
@@ -165,7 +291,15 @@ class CrawlEngine:
             self._ncpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             self._ncpus = 8
-        self.seen = ShardedSeen(seen_shards, seen_backend)
+        # Seen-set TTL (reference parity: Redis dedup keys expire after 24 h,
+        # /root/reference/crawler/services/redis_cache.py:26-75 +
+        # config/settings.py:72-75) — a scheduler-driven recrawl re-fetches
+        # pages whose dedup window lapsed.  The clock is injectable so
+        # expiry is deterministic in tests; expiry sweeps run at the start
+        # of each run() and then at most every ttl/4 during long crawls.
+        self.clock = clock or time.time
+        self.seen = ShardedSeen(seen_shards, seen_backend, ttl=seen_ttl)
+        self._last_expire: float | None = None
 
     def _t(self, label: str, t0: float) -> float:
         now = time.monotonic()
@@ -203,7 +337,9 @@ class CrawlEngine:
         if not rows:
             return _empty_frontier()
         tbl = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
-        new_mask = self.seen.filter_new(tbl["url_hash"].to_pylist())
+        new_mask = self.seen.filter_new(
+            tbl["url_hash"].to_pylist(), now=self.clock()
+        )
         return tbl.filter(pa.array(new_mask))
 
     # ------------------------------------------------------------ selection
@@ -213,6 +349,19 @@ class CrawlEngine:
         df = df.sort_values(["host", "score", "url_hash"], kind="mergesort")
         df = df.groupby("host", sort=False).head(self.budget)
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _host_threshold(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Per-host selection cutoff: the B-th smallest (score, url_hash)
+        among that host's partial winners (distributed-selection mode)."""
+        df = df.sort_values(["score", "url_hash"], kind="mergesort")
+        last = df.iloc[min(self.budget, len(df)) - 1]
+        return pd.DataFrame(
+            {
+                "host": [last["host"]],
+                "cut_score": [int(last["score"])],
+                "cut_hash": [last["url_hash"]],
+            }
+        )
 
     # ------------------------------------------------------------ run
     def run(
@@ -227,6 +376,12 @@ class CrawlEngine:
         robots = self.robots
         seen_handle = self.seen
         budget = self.budget
+
+        if self.seen.ttl is not None:
+            # sweep lapsed dedup windows BEFORE seeding: a recrawl whose
+            # previous visit has expired re-fetches from the seeds down
+            self._last_expire = self.clock()
+            self.seen.expire(self._last_expire)
 
         frontier_ds = rd.from_arrow(
             frontier if frontier is not None else self._seed_frontier()
@@ -248,6 +403,15 @@ class CrawlEngine:
         while r < self.max_rounds:
             t0 = time.monotonic()
             tt = time.monotonic()
+            if (
+                self.seen.ttl is not None
+                and self.clock() - self._last_expire >= self.seen.ttl / 4
+            ):
+                # long-running crawl: keep the dedup window moving (cuckoo
+                # generation rotation / exact stamp sweep), amortized to at
+                # most 4 sweeps per ttl
+                self._last_expire = self.clock()
+                self.seen.expire(self._last_expire)
             frontier_ds = frontier_ds.materialize()
             n_frontier = frontier_ds.count()
             n_frontier_blocks = frontier_ds.num_blocks()
@@ -263,15 +427,29 @@ class CrawlEngine:
                 batch_format="pyarrow",
             )
 
-            # partial top-B per block (distributed), final top-B on the driver
-            # over <= B*hosts*blocks partial winners — the selected set is
-            # driver-bound anyway (crawl-order record + frontier subtraction),
-            # and the budget caps it independent of data scale.
+            # partial top-B per block (distributed); the final per-host
+            # head(B) runs per self.selection mode (see __init__ notes)
             partial = candidates.map_batches(
                 self._partial_topb, batch_format="pandas"
-            ).take_all()
-            tt = self._t('partial_sel', tt)
-            if not partial:
+            )
+            sel_rows: list[dict] = []
+            sel_ds = None
+            selected_tbl = None
+            if self.selection == "driver":
+                partial_rows = partial.take_all()
+                self._driver_rows += len(partial_rows)
+                tt = self._t('partial_sel', tt)
+                round_empty = not partial_rows
+            else:
+                thr_rows = (
+                    partial.groupby("host")
+                    .map_groups(self._host_threshold, batch_format="pandas")
+                    .take_all()
+                )
+                self._driver_rows += len(thr_rows)
+                tt = self._t('threshold_sel', tt)
+                round_empty = not thr_rows
+            if round_empty:
                 # everything runnable is deferred by retry backoff:
                 # fast-forward the round clock to the earliest wake-up
                 # (identical to the golden spec's empty rounds — no
@@ -288,27 +466,62 @@ class CrawlEngine:
                 ]
                 r = max(r + 1, min(nb) if nb else r + 1)
                 continue
-            pdf = pd.DataFrame(partial)
-            pdf = pdf.sort_values(["host", "score", "url_hash"], kind="mergesort")
-            sel_df = (
-                pdf.groupby("host", sort=False)
-                .head(self.budget)
-                .sort_values(["score", "url_hash"], kind="mergesort")
-            )
-            sel_rows = sel_df.to_dict("records")
-            sel_hashes = frozenset(d["url_hash"] for d in sel_rows)
-            selected_tbl = pa.Table.from_pandas(
-                sel_df, preserve_index=False
-            ).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
 
-            # everything not fetched this round stays in the frontier
-            # (deferred-by-backoff rows and unselected candidates alike)
-            rest = frontier_ds.map_batches(
-                lambda t, sh=sel_hashes: t.filter(
-                    pa.array([h not in sh for h in t["url_hash"].to_pylist()])
-                ),
-                batch_format="pyarrow",
-            )
+            if self.selection == "driver":
+                pdf = pd.DataFrame(partial_rows)
+                pdf = pdf.sort_values(["host", "score", "url_hash"], kind="mergesort")
+                sel_df = (
+                    pdf.groupby("host", sort=False)
+                    .head(self.budget)
+                    .sort_values(["score", "url_hash"], kind="mergesort")
+                )
+                sel_rows = sel_df.to_dict("records")
+                n_selected = len(sel_rows)
+                selected_tbl = pa.Table.from_pandas(
+                    sel_df, preserve_index=False
+                ).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+                order_meta = [(r, d["url_hash"], d["url"]) for d in sel_rows]
+
+                # everything not fetched this round stays in the frontier
+                # (deferred-by-backoff rows and unselected candidates alike);
+                # the selected hash set ships ONCE via the object store and
+                # the subtraction is a vectorized pc.is_in, not a Python loop
+                sel_set_ref = ray.put(pa.array(sel_df["url_hash"], type=pa.string()))
+                rest = frontier_ds.map_batches(
+                    lambda t, ref=sel_set_ref: t.filter(
+                        pc.invert(pc.is_in(t["url_hash"], value_set=ray.get(ref)))
+                    ),
+                    batch_format="pyarrow",
+                )
+            else:
+                thr = (
+                    {d["host"]: d["cut_score"] for d in thr_rows},
+                    {d["host"]: d["cut_hash"] for d in thr_rows},
+                )
+                thr_ref = ray.put(thr)
+                n_selected = None  # known after the parse materialization
+                sel_ds = candidates.map_batches(
+                    lambda t, ref=thr_ref, rr=rr: t.filter(
+                        _threshold_mask(t, ray.get(ref), rr)
+                    ),
+                    batch_format="pyarrow",
+                )
+                rest = frontier_ds.map_batches(
+                    lambda t, ref=thr_ref, rr=rr: t.filter(
+                        pc.invert(_threshold_mask(t, ray.get(ref), rr))
+                    ),
+                    batch_format="pyarrow",
+                )
+                order_meta = []
+                if self.record_history:
+                    # conformance mode only: collect the (budget-bounded)
+                    # selection METADATA, never the full frontier rows
+                    meta = sel_ds.select_columns(
+                        ["score", "url_hash", "url"]
+                    ).take_all()
+                    self._driver_rows += len(meta)
+                    meta.sort(key=lambda d: (d["score"], d["url_hash"]))
+                    order_meta = [(r, d["url_hash"], d["url"]) for d in meta]
 
             # split the selected set so the fetch pool actually parallelizes:
             # pre-slice the Arrow table driver-side (from_arrow of a list =
@@ -316,7 +529,12 @@ class CrawlEngine:
             # is an all-to-all with ~1-2 s fixed cost per round.  Block count
             # targets ~4 blocks per CPU (small rounds still spread their
             # fetch latency) with >= 4 rows per block.
-            if self.requests_per_second is not None:
+            if self.selection == "distributed":
+                # the selected set streams straight from the threshold filter
+                # into the fetch stage — block structure inherited from the
+                # frontier (size frontier_blocks to the cluster)
+                slices = None
+            elif self.requests_per_second is not None:
                 # wall-clock politeness mode: one block PER HOST so a host's
                 # requests are serialized through a single actor's token
                 # bucket — row-sliced blocks would scatter one host across
@@ -344,7 +562,7 @@ class CrawlEngine:
                     for i in range(n_fetch_blocks)
                     if i * per < len(selected_tbl)
                 ]
-            fetch_stage = rd.from_arrow(slices)
+            fetch_stage = sel_ds if slices is None else rd.from_arrow(slices)
             if self.fetch_backend == "pooled":
                 from crawler_ray.stages.pool import PooledFetcher
 
@@ -424,118 +642,164 @@ class CrawlEngine:
                                  type=pa.bool_())
                     )
                 if len(links):
-                    hashes = links["url_hash"].to_pylist()
-                    parents = links["parent_hash"].to_pylist()
-                    doms = links["dom_idx"].to_pylist()
-                    urls = links["url"].to_pylist()
-                    hosts = links["host"].to_pylist()
-                    keys = [f"{p}:{d:08d}" for p, d in zip(parents, doms)]
-                    seen_handle.offer(hashes, keys, list(zip(urls, hosts, parents)))
+                    # sortkey built with Arrow kernels; the whole candidate
+                    # block ships to the seen shards as Arrow sub-tables
+                    # (zero per-row Python tuples, nothing via the driver)
+                    key = pc.binary_join_element_wise(
+                        links["parent_hash"],
+                        pc.utf8_lpad(
+                            pc.cast(links["dom_idx"], pa.string()), 8, "0"
+                        ),
+                        ":",
+                    )
+                    seen_handle.offer_block(
+                        pa.table(
+                            {
+                                "url_hash": links["url_hash"],
+                                "sortkey": key,
+                                "url": links["url"],
+                                "host": links["host"],
+                                "parent_hash": links["parent_hash"],
+                            }
+                        )
+                    )
                 return t.filter(pc.not_equal(t["status"], 200)).select(
                     ["url", "url_hash", "host", "status", "retry_count", "lineage"]
                 )
 
-            failed_rows = parsed.map_batches(
-                _offer_and_collect_failed, batch_format="pyarrow"
-            ).take_all()
-            tt = self._t('offer+failed', tt)
-            if self._cancel_requested():
-                # after link-offer: seen-shard actors hold uncommitted
-                # additions; the round is dropped, and a resume rebuilds the
-                # seen set from COMMITTED deltas only (fresh actors)
-                break
-            retry_rows = []
-            round_dlq = []
-            for row in failed_rows:
-                retryable = row["status"] == 429 or row["status"] >= 500
-                if retryable and row["retry_count"] < self.max_retries:
-                    retry_rows.append(
-                        {
-                            "url": row["url"], "url_hash": row["url_hash"],
-                            "host": row["host"], "priority": PRIORITY_RETRY,
-                            "score": score_of(PRIORITY_RETRY, r + 1),
-                            "discovery_round": r + 1,
-                            "not_before_round": r + 1 + backoff_rounds(row["retry_count"]),
-                            "retry_count": row["retry_count"] + 1,
-                            "lineage": row["lineage"],
-                        }
-                    )
-                else:
-                    round_dlq.append(
-                        {
-                            "url": row["url"], "url_hash": row["url_hash"],
-                            "status": row["status"], "round": r,
-                            "error_category": "server_error" if retryable else "not_found",
-                            "retry_count": row["retry_count"],
-                        }
-                    )
-            retries_tbl = (
-                pa.Table.from_pylist(retry_rows, schema=FRONTIER_SCHEMA)
-                if retry_rows
-                else _empty_frontier()
-            )
-
-            winners = seen_handle.resolve()  # [(url_hash, url, host, parent)]
-            tt = self._t('resolve', tt)
-            if winners:
-                n = len(winners)
-                new_tbl = pa.table(
-                    {
-                        "url": pa.array([w[1] for w in winners], type=pa.string()),
-                        "url_hash": pa.array([w[0] for w in winners], type=pa.string()),
-                        "host": pa.array([w[2] for w in winners], type=pa.string()),
-                        "priority": pa.array([PRIORITY_DISCOVERED] * n, type=pa.int32()),
-                        "score": pa.array(
-                            [score_of(PRIORITY_DISCOVERED, r + 1)] * n, type=pa.int64()
-                        ),
-                        "discovery_round": pa.array([r + 1] * n, type=pa.int32()),
-                        "not_before_round": pa.array([0] * n, type=pa.int32()),
-                        "retry_count": pa.array([0] * n, type=pa.int32()),
-                        "lineage": pa.array([w[3] for w in winners], type=pa.string()),
-                    }
-                ).cast(FRONTIER_SCHEMA)
+            if self.selection == "driver":
+                failed_rows = parsed.map_batches(
+                    _offer_and_collect_failed, batch_format="pyarrow"
+                ).take_all()
+                self._driver_rows += len(failed_rows)
+                n_failed = len(failed_rows)
+                tt = self._t('offer+failed', tt)
+                if self._cancel_requested():
+                    # after link-offer: seen-shard actors hold uncommitted
+                    # additions; the round is dropped, and a resume rebuilds
+                    # the seen set from COMMITTED deltas only (fresh actors)
+                    break
+                retry_rows = []
+                round_dlq = []
+                for row in failed_rows:
+                    retryable = row["status"] == 429 or row["status"] >= 500
+                    if retryable and row["retry_count"] < self.max_retries:
+                        retry_rows.append(
+                            {
+                                "url": row["url"], "url_hash": row["url_hash"],
+                                "host": row["host"], "priority": PRIORITY_RETRY,
+                                "score": score_of(PRIORITY_RETRY, r + 1),
+                                "discovery_round": r + 1,
+                                "not_before_round": r + 1 + backoff_rounds(row["retry_count"]),
+                                "retry_count": row["retry_count"] + 1,
+                                "lineage": row["lineage"],
+                            }
+                        )
+                    else:
+                        round_dlq.append(
+                            {
+                                "url": row["url"], "url_hash": row["url_hash"],
+                                "status": row["status"], "round": r,
+                                "error_category": "server_error" if retryable else "not_found",
+                                "retry_count": row["retry_count"],
+                            }
+                        )
+                n_retries = len(retry_rows)
+                retries_ds = rd.from_arrow(
+                    pa.Table.from_pylist(retry_rows, schema=FRONTIER_SCHEMA)
+                    if retry_rows
+                    else _empty_frontier()
+                )
             else:
-                new_tbl = _empty_frontier()
+                # scale path: failures stay distributed; retry/DLQ
+                # classification are vectorized Arrow passes over the (small,
+                # materialized) failed set
+                failed_ds = parsed.map_batches(
+                    _offer_and_collect_failed, batch_format="pyarrow"
+                ).materialize()
+                n_failed = failed_ds.count()
+                n_selected = parsed.count()
+                tt = self._t('offer+failed', tt)
+                if self._cancel_requested():
+                    break
+                mx = self.max_retries
+                retries_ds = failed_ds.map_batches(
+                    lambda t, r=r, mx=mx: _retry_frontier_rows(t, r, mx),
+                    batch_format="pyarrow",
+                )
+                n_retries = retries_ds.count()
+                round_dlq = []
+                if self.record_history:
+                    round_dlq = failed_ds.map_batches(
+                        lambda t, r=r, mx=mx: _dlq_table(t, r, mx),
+                        batch_format="pyarrow",
+                    ).take_all()
+                    self._driver_rows += len(round_dlq)
+
+            # winners: each seen shard resolves its round-local first-wins
+            # pool into an Arrow FRONTIER block that stays in the object
+            # store; the driver holds O(shards) ObjectRefs, never the rows.
+            # Discoveries per round are NOT budget-bounded (pages x links),
+            # so this is the path that must not serialize through one process.
+            new_ds = rd.from_arrow_refs(
+                seen_handle.resolve_refs(
+                    PRIORITY_DISCOVERED,
+                    score_of(PRIORITY_DISCOVERED, r + 1),
+                    r + 1,
+                    now=self.clock() if self.seen.ttl is not None else None,
+                )
+            )
+            tt = self._t('resolve', tt)
 
             # bound block count: rest inherits the previous frontier's
-            # blocks and each union adds two, so an unbounded union grows
-            # blocks every round (exponential scheduling overhead) — but the
-            # repartition all-to-all has its own ~0.5 s fixed cost, so only
-            # coalesce once the count drifts past 4x the target
+            # blocks and each union adds 1 + n_shards, so an unbounded union
+            # grows blocks every round (exponential scheduling overhead) —
+            # but the repartition all-to-all has its own ~0.5 s fixed cost,
+            # so only coalesce once the count drifts past 4x the target
             frontier_ds = (
                 rest
-                .union(rd.from_arrow(retries_tbl))
-                .union(rd.from_arrow(new_tbl))
+                .union(retries_ds)
+                .union(new_ds)
                 .map_batches(
                     lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
                     batch_format="pyarrow",
                 )
             )
-            if n_frontier_blocks + 2 > 4 * self.frontier_blocks:
+            if n_frontier_blocks + 1 + self.seen.n_shards > 4 * self.frontier_blocks:
                 frontier_ds = frontier_ds.repartition(self.frontier_blocks)
 
             # ---- commit round r (everything above is discardable) --------
             if self.record_history:
-                order.extend((r, d["url_hash"], d["url"]) for d in sel_rows)
+                order.extend(order_meta)
             page_parts.append(pages_round)
             dlq_rows.extend(round_dlq)
             metrics.append(
                 {
                     "round": r,
                     "frontier": n_frontier,
-                    "selected": len(sel_rows),
-                    "pages_ok": len(sel_rows) - len(failed_rows),
-                    "failed": len(failed_rows),
-                    "retries": len(retry_rows),
+                    "selected": n_selected,
+                    "pages_ok": n_selected - n_failed,
+                    "failed": n_failed,
+                    "retries": n_retries,
                     "wall_sec": round(time.monotonic() - t0, 3),
                 }
             )
-            seen_delta = self.seen.drain_new()
-            seen_count += len(seen_delta)
-            if self.record_history:
-                seen_log.extend(seen_delta)
+            if self.record_history or self.checkpoint_dir:
+                seen_delta = self.seen.drain_new()
+                self._driver_rows += len(seen_delta)
+                seen_count += len(seen_delta)
+                if self.record_history:
+                    seen_log.extend(seen_delta)
+            else:
+                # default mode: the hashes stay shard-side; only the count
+                # crosses to the driver
+                seen_delta = []
+                seen_count += self.seen.drain_count()
             if self.checkpoint_dir:
-                self._write_round_outputs(r, pages_round, sel_rows, seen_delta, metrics[-1])
+                self._write_round_outputs(
+                    r, pages_round, order_meta, seen_delta, metrics[-1],
+                    sel_ds=sel_ds,
+                )
             r += 1
 
         if page_parts:
@@ -627,7 +891,9 @@ class CrawlEngine:
             d, partition_cols=["bucket"]
         )
 
-    def _write_round_outputs(self, r, pages_round, sel_rows, seen_delta, metric) -> None:
+    def _write_round_outputs(
+        self, r, pages_round, order_meta, seen_delta, metric, sel_ds=None
+    ) -> None:
         d = self._round_dir(r)
         os.makedirs(d, exist_ok=True)
         pages_dir = os.path.join(d, "pages")
@@ -639,8 +905,20 @@ class CrawlEngine:
             shutil.rmtree(pages_dir)
         if pages_round.count():
             pages_round.write_parquet(pages_dir)
-        with open(os.path.join(d, "order.json"), "w") as f:
-            json.dump([[r, s["url_hash"], s["url"]] for s in sel_rows], f)
+        if order_meta:
+            with open(os.path.join(d, "order.json"), "w") as f:
+                json.dump([[rr, h, u] for rr, h, u in order_meta], f)
+        elif sel_ds is not None:
+            # distributed-selection mode: the crawl order is written as a
+            # parquet directory straight from the selection Dataset (the
+            # order is reconstructible: sort by (score, url_hash)); the
+            # driver never holds the selected rows
+            odir = os.path.join(d, "order")
+            if os.path.isdir(odir):
+                import shutil
+
+                shutil.rmtree(odir)
+            sel_ds.select_columns(["score", "url_hash", "url"]).write_parquet(odir)
         with open(os.path.join(d, "seen_delta.json"), "w") as f:
             json.dump(seen_delta, f)
         # manifest written LAST: its presence marks the round complete
@@ -681,8 +959,21 @@ class CrawlEngine:
         order, metrics, pages, seen_all = [], [], [], []
         for rr in complete:
             d = os.path.join(checkpoint_dir, f"round={rr:04d}")
-            with open(os.path.join(d, "order.json")) as f:
-                order.extend(tuple(x) for x in json.load(f))
+            ojson = os.path.join(d, "order.json")
+            odir = os.path.join(d, "order")
+            if os.path.exists(ojson):
+                with open(ojson) as f:
+                    order.extend(tuple(x) for x in json.load(f))
+            elif os.path.isdir(odir):
+                ot = pq.read_table(odir).sort_by(
+                    [("score", "ascending"), ("url_hash", "ascending")]
+                )
+                order.extend(
+                    (rr, h, u)
+                    for h, u in zip(
+                        ot["url_hash"].to_pylist(), ot["url"].to_pylist()
+                    )
+                )
             with open(os.path.join(d, "manifest.json")) as f:
                 metrics.append(json.load(f))
             with open(os.path.join(d, "seen_delta.json")) as f:
@@ -692,7 +983,7 @@ class CrawlEngine:
                 pages.append(rd.read_parquet(pdir))
         # seeds are part of round 0's delta; on a full restart the seed pass
         # re-adds them, so only bulk-load when skipping ahead
-        engine.seen.add_bulk(seen_all)
+        engine.seen.add_bulk(seen_all, now=engine.clock())
         engine.seen.drain_new()  # discard resume-load delta
         frontier_tbl = pq.read_table(snap).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
         return engine.run(

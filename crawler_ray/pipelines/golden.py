@@ -106,10 +106,21 @@ def golden_crawl(
     max_rounds: int = 64,
     robots: RobotsPolicy | None = None,
     max_retries: int = MAX_RETRIES,
+    initial_seen: set[str] | None = None,
 ) -> GoldenResult:
-    """Run the crawl spec sequentially over a MiniWeb."""
+    """Run the crawl spec sequentially over a MiniWeb.
+
+    ``initial_seen`` pre-populates the URL-seen set — the sequential spec
+    for a SECOND scheduled run whose previous visit is still inside the
+    dedup-window TTL (reference: 24 h Redis key expiry,
+    ``/root/reference/crawler/services/redis_cache.py:26-75``).  Hashes in
+    it are never enqueued (seeds included); a fully-expired window is
+    simply ``initial_seen=None``.
+    """
     robots = robots if robots is not None else RobotsPolicy.for_miniweb(web)
     res = GoldenResult()
+    if initial_seen:
+        res.seen.update(initial_seen)
     frontier: list[FrontierRow] = []
 
     for seed in web.seeds():

@@ -417,7 +417,18 @@ def q_user_sessions(sf_dir: str):
     hash-bucketed so each Ray group is a vectorized pandas pass over many
     users, not one Python call per user."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    # shuffle parallelism scales with the cluster: >= 2 reduce partitions
+    # per CPU (next power of two so the bucket id stays a cheap bit-mask);
+    # results are bucket-count-invariant (buckets only partition users)
+    try:
+        import ray
+
+        _cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        _cpus = 16
     N_BUCKETS = 32
+    while N_BUCKETS < 2 * _cpus:
+        N_BUCKETS <<= 1
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

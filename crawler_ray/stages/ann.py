@@ -51,60 +51,126 @@ class HyperplaneLSH:
         return out
 
 
+def lsh_candidate_pairs(
+    planes: np.ndarray, Xn: np.ndarray, q_buckets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (row_idx, query_idx) pairs sharing a bucket in ANY table —
+    loop-free per table (sort + double searchsorted + repeat expansion),
+    deduped across tables with one np.unique over a fused pair key.
+
+    ``planes``: [T, b, dim]; ``Xn``: [n, dim] normalized; ``q_buckets``:
+    [n_q, T] from :meth:`HyperplaneLSH.buckets`.
+    """
+    n_q = q_buckets.shape[0]
+    weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+    rows_all: list[np.ndarray] = []
+    qs_all: list[np.ndarray] = []
+    for t in range(planes.shape[0]):
+        xb = ((Xn @ planes[t].T) > 0) @ weights          # [n] data buckets
+        qb = q_buckets[:, t]
+        order = np.argsort(qb, kind="stable")
+        qb_sorted = qb[order]
+        left = np.searchsorted(qb_sorted, xb, side="left")
+        cnt = np.searchsorted(qb_sorted, xb, side="right") - left
+        hit = np.flatnonzero(cnt)
+        if not len(hit):
+            continue
+        reps = cnt[hit]
+        total = int(reps.sum())
+        # per-hit-row range [left, left+reps) into the sorted query array
+        offsets = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+        rows_all.append(np.repeat(hit, reps))
+        qs_all.append(order[np.repeat(left[hit], reps) + offsets])
+    if not rows_all:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    rows = np.concatenate(rows_all)
+    qs = np.concatenate(qs_all)
+    key = np.unique(rows * np.int64(n_q) + qs)
+    return key // n_q, key % n_q
+
+
+def tune_lsh_bits(
+    sample_X: np.ndarray,
+    Q: np.ndarray,
+    k: int = 5,
+    n_tables: int = 16,
+    recall_floor: float = 0.9,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Pick bits-per-table from a SAMPLED similarity distribution: the
+    largest ``b`` whose analytic top-k recall stays above ``recall_floor``.
+
+    Signal similarity = the k-th best cosine per query within the sample
+    (an underestimate of the full corpus' top-k floor, so the tuning errs
+    toward recall).  Per Charikar hyperplane LSH, P(two vectors agree on
+    one hyperplane) = 1 - theta/pi; a table of b planes collides with p^b
+    and T tables admit 1-(1-p^b)^T.  Clustered corpora (signal cosine
+    > 0.8) tune to 10+ bits — background candidates collapse to < 1 % —
+    while weak-similarity corpora (random embeddings, signal ~ 0.4) tune
+    back to ~4 bits, where LSH honestly cannot prune without losing
+    recall.  Deterministic: no RNG, same sample -> same bits.
+    """
+    Xn = sample_X / np.linalg.norm(sample_X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = np.clip(Xn @ Qn.T, -1.0, 1.0)                 # [n_sample, n_q]
+    kk = min(k, sims.shape[0])
+    topk = np.sort(sims, axis=0)[-kk, :]                 # k-th best per query
+    p_sig = 1.0 - np.arccos(np.clip(topk, -1.0, 1.0)) / np.pi
+    best = min_bits
+    for b in range(min_bits, max_bits + 1):
+        recall = float((1.0 - (1.0 - p_sig**b) ** n_tables).mean())
+        if recall >= recall_floor:
+            best = b
+        else:
+            break
+    return best
+
+
 def ann_topk(
     ds: "rd.Dataset",
     query_ids: np.ndarray,
     Q: np.ndarray,
     k: int = 5,
     n_tables: int = 16,
-    n_bits: int = 4,
+    n_bits: int | None = None,
+    train_sample: np.ndarray | None = None,
     id_col: str = "vec_id",
 ) -> "rd.Dataset":
-    """Defaults (16 tables x 4 bits) are tuned for weak-similarity corpora
-    (top cosine ~0.4, like random embeddings): P(candidate) ~ 0.96 for the
-    true neighbor vs ~0.64 background.  Clustered real-world embeddings
-    (top cosine > 0.8) support 10-16 bits per table, which collapses the
-    background rate — raise ``n_bits`` there for the real speedup."""
     """Top-k approximate cosine neighbors for each query vector.
 
-    Returns (query_id, neighbor_id, cosine) — same shape as the brute-force
-    baseline so recall is directly measurable.
+    ``n_bits=None`` auto-tunes bits-per-table from ``train_sample`` (or the
+    query matrix itself) via :func:`tune_lsh_bits` — the knob that makes
+    LSH actually PRUNE on clustered corpora instead of admitting most of
+    the corpus as candidates.  Candidate matching is loop-free
+    (:func:`lsh_candidate_pairs`); scoring is one fused gather + row-wise
+    dot.  Returns (query_id, neighbor_id, cosine) — same shape as the
+    brute-force baseline so recall is directly measurable.
     """
     dim = Q.shape[1]
+    if n_bits is None:
+        sample = train_sample if train_sample is not None else Q
+        n_bits = tune_lsh_bits(sample, Q, k=k, n_tables=n_tables)
     lsh = HyperplaneLSH(dim, n_tables, n_bits)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_buckets = lsh.buckets(Qn)                 # [n_q, T]
-    # bucket -> query indices lookup per table
-    lookup = [dict() for _ in range(n_tables)]
-    for qi in range(len(query_ids)):
-        for t in range(n_tables):
-            lookup[t].setdefault(int(q_buckets[qi, t]), []).append(qi)
-    ref = ray.put((lsh.planes, lookup, query_ids, Qn))
+    ref = ray.put((lsh.planes, q_buckets, query_ids, Qn))
 
     def candidates(t: pa.Table) -> pa.Table:
-        planes, lookup_, q_ids, Qn_ = ray.get(ref)
+        planes, q_buckets_, q_ids, Qn_ = ray.get(ref)
         X = _matrix(t)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         ids = np.asarray(t[id_col].to_pylist())
-        weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
-        hit_pairs: set[tuple[int, int]] = set()
-        for tb in range(planes.shape[0]):
-            b = ((Xn @ planes[tb].T) > 0) @ weights
-            for row, bucket in enumerate(b):
-                for qi in lookup_[tb].get(int(bucket), ()):  # noqa: B905
-                    hit_pairs.add((row, qi))
-        out_q, out_n, out_c = [], [], []
-        for row, qi in hit_pairs:
-            if ids[row] == q_ids[qi]:
-                continue
-            out_q.append(q_ids[qi])
-            out_n.append(ids[row])
-            out_c.append(float(Xn[row] @ Qn_[qi]))
+        rows, qs = lsh_candidate_pairs(planes, Xn, q_buckets_)
+        keep = ids[rows] != q_ids[qs]           # drop self-matches
+        rows, qs = rows[keep], qs[keep]
+        cos = np.einsum("ij,ij->i", Xn[rows], Qn_[qs])
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cosine_raw": pa.array(out_c, type=pa.float64()),
+                "query_id": pa.array(q_ids[qs], type=pa.int64()),
+                "neighbor_id": pa.array(ids[rows], type=pa.int64()),
+                "cosine_raw": pa.array(cos, type=pa.float64()),
             }
         )
 
@@ -232,9 +298,10 @@ def ann_query(sf_dir: str, n_queries: int = 10, k: int = 5):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt["vec_id"], n_queries))
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    train = _matrix(full.filter(pc.less(full["vec_id"], 256)))
+    qt = full.filter(pc.less(full["vec_id"], n_queries))
     q_ids = np.asarray(qt["vec_id"].to_pylist())
     Q = _matrix(qt)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann_topk(ds, q_ids, Q, k=k)
+    return ann_topk(ds, q_ids, Q, k=k, train_sample=train)

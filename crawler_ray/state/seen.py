@@ -31,6 +31,14 @@ since the previous drain, which the engine writes per round.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
+
+# hex-nibble lookup for the vectorized shard router
+_HEX_LUT = np.zeros(256, dtype=np.uint64)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT[_c] = _i
+for _i, _c in enumerate(b"ABCDEF"):
+    _HEX_LUT[_c] = 10 + _i
 
 
 class CuckooFilter:
@@ -92,89 +100,224 @@ def shard_of(url_hash: str, n_shards: int) -> int:
     return int(url_hash[:8], 16) % n_shards
 
 
-class SeenShard:
-    """One shard of the URL-seen set; deploy as a Ray actor."""
+def shard_of_batch(hashes, n_shards: int) -> np.ndarray:
+    """Vectorized :func:`shard_of` over a batch of hex hashes.
 
-    def __init__(self, backend: str = "exact", capacity: int = 1 << 20) -> None:
+    numpy's fixed-width ``S8`` cast truncates each string to its first 8
+    bytes in C, and the nibble lookup replaces the per-row ``int(h[:8], 16)``
+    — the whole route is loop-free (the offer path runs this once per parse
+    task over every discovered link)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.asarray(hashes, dtype="S8").view(np.uint8).reshape(-1, 8)
+    nib = _HEX_LUT[b]
+    val = np.zeros(len(nib), dtype=np.uint64)
+    for i in range(8):  # 8 iterations total, each vectorized over the batch
+        val = (val << np.uint64(4)) | nib[:, i]
+    return (val % np.uint64(n_shards)).astype(np.int64)
+
+
+class SeenShard:
+    """One shard of the URL-seen set; deploy as a Ray actor.
+
+    TTL (reference parity: the Redis dedup keyspace sets a 24 h TTL per key,
+    ``/root/reference/crawler/services/redis_cache.py:55-75``, so recurring
+    scheduled crawls revisit pages once their dedup window lapses):
+
+    - ``exact`` backend: per-hash timestamps; :meth:`expire` sweeps entries
+      older than ``ttl`` — exact expiry, byte-identical to the reference's
+      per-key clock.
+    - ``cuckoo`` backend: GENERATIONAL filters — inserts go to the current
+      generation; membership checks all generations; every ``ttl/2`` the
+      oldest of 3 generations is dropped wholesale.  An entry is therefore
+      never expired EARLY (it lives at least ``ttl``) and at most ``1.5x
+      ttl`` — the right trade at 10^10 keys, where per-key stamps would cost
+      50x the filter itself.
+    """
+
+    GENERATIONS = 3
+
+    def __init__(
+        self, backend: str = "exact", capacity: int = 1 << 20,
+        ttl: float | None = None,
+    ) -> None:
         self.backend = backend
+        self.ttl = ttl
+        self.capacity = capacity
         self._exact: set[str] = set()
-        self._cuckoo = CuckooFilter(capacity) if backend == "cuckoo" else None
+        self._stamps: dict[str, float] = {}   # exact+ttl only
+        if backend == "cuckoo":
+            self._gens: list[CuckooFilter] = [CuckooFilter(capacity)]
+            self._window_start: float | None = None
         self._new_since_drain: list[str] = []
 
-    def seen_and_add(self, hashes: list[str]) -> np.ndarray:
+    # ------------------------------------------------------------- membership
+    def _contains(self, h: str) -> bool:
+        if self.backend == "exact":
+            return h in self._exact
+        hv = int(h[:16], 16)
+        return any(g.contains(hv) for g in self._gens)
+
+    def _insert(self, h: str, now: float | None) -> None:
+        if self.backend == "exact":
+            self._exact.add(h)
+            if self.ttl is not None:
+                self._stamps[h] = now if now is not None else 0.0
+        else:
+            self._gens[0].add(int(h[:16], 16))
+
+    def seen_and_add(self, hashes: list[str], now: float | None = None) -> np.ndarray:
         """Atomic membership-test-and-insert; True where the hash was new."""
         out = np.zeros(len(hashes), dtype=bool)
         if self.backend == "exact":
             seen = self._exact
+            stamps = self._stamps if self.ttl is not None else None
+            stamp = now if now is not None else 0.0
             for i, h in enumerate(hashes):
                 if h not in seen:
                     seen.add(h)
+                    if stamps is not None:
+                        stamps[h] = stamp
                     out[i] = True
         else:
-            ck = self._cuckoo
+            gens = self._gens
+            cur = gens[0]
             for i, h in enumerate(hashes):
                 hv = int(h[:16], 16)
-                if not ck.contains(hv):
-                    ck.add(hv)
+                if not any(g.contains(hv) for g in gens):
+                    cur.add(hv)
                     out[i] = True
         self._new_since_drain.extend(h for i, h in enumerate(hashes) if out[i])
         return out
 
-    def add_bulk(self, hashes: list[str]) -> int:
+    def expire(self, now: float) -> int:
+        """Drop entries whose dedup window has lapsed; returns entries
+        removed (exact) or generations rotated (cuckoo)."""
+        if self.ttl is None:
+            return 0
+        if self.backend == "exact":
+            cutoff = now - self.ttl
+            dead = [h for h, t in self._stamps.items() if t <= cutoff]
+            for h in dead:
+                del self._stamps[h]
+                self._exact.discard(h)
+            return len(dead)
+        window = self.ttl / (self.GENERATIONS - 1)
+        if self._window_start is None:
+            self._window_start = now
+            return 0
+        rotated = 0
+        if now - self._window_start >= self.GENERATIONS * window:
+            # long idle gap: every generation is stale — reset wholesale
+            rotated = len(self._gens)
+            self._gens = [CuckooFilter(self.capacity)]
+            self._window_start = now
+            return rotated
+        while now - self._window_start >= window:
+            self._gens.insert(0, CuckooFilter(self.capacity))
+            if len(self._gens) > self.GENERATIONS:
+                self._gens.pop()
+            self._window_start += window
+            rotated += 1
+        return rotated
+
+    def add_bulk(self, hashes: list[str], now: float | None = None) -> int:
         """Insert without reporting (checkpoint resume path)."""
-        mask = self.seen_and_add(hashes)
+        mask = self.seen_and_add(hashes, now)
         return int(mask.sum())
 
     def size(self) -> int:
-        return len(self._exact) if self.backend == "exact" else self._cuckoo.count
+        if self.backend == "exact":
+            return len(self._exact)
+        return sum(g.count for g in self._gens)
 
     def drain_new(self) -> list[str]:
         """Hashes added since the last drain (per-round seen snapshot)."""
         out, self._new_since_drain = self._new_since_drain, []
         return out
 
-    # ---------------------------------------------------------- offer/resolve
-    # Round-local first-wins dedup fused into the shard: tasks OFFER candidate
-    # rows during a round (any arrival order); RESOLVE deterministically keeps
-    # the minimum-sortkey offer per unseen hash, marks it seen, and returns the
-    # winner rows.  This replaces a per-round groupby(url_hash) shuffle — the
-    # shard actor IS the reduce point for its hash range.
-
-    def offer(self, hashes: list[str], keys: list[str], payloads: list[tuple]) -> int:
-        if not hasattr(self, "_pending"):
-            self._pending: dict[str, tuple] = {}
-        pend = self._pending
-        contains = (
-            self._exact.__contains__
-            if self.backend == "exact"
-            else (lambda h: self._cuckoo.contains(int(h[:16], 16)))
-        )
-        n = 0
-        for h, k, p in zip(hashes, keys, payloads):
-            if contains(h):
-                continue
-            prev = pend.get(h)
-            if prev is None or k < prev[0]:
-                pend[h] = (k, p)
-            n += 1
+    def drain_count(self) -> int:
+        """Count of hashes added since the last drain, without shipping the
+        hashes themselves (default-mode seen_count: O(1) driver traffic)."""
+        n = len(self._new_since_drain)
+        self._new_since_drain = []
         return n
 
-    def resolve(self) -> list[tuple]:
-        """Winners (url_hash-sorted) since last resolve; marks them seen."""
-        pend = getattr(self, "_pending", None)
-        if not pend:
-            return []
-        out = []
-        for h in sorted(pend):
-            _, payload = pend[h]
-            if self.backend == "exact":
-                self._exact.add(h)
-            else:
-                self._cuckoo.add(int(h[:16], 16))
-            self._new_since_drain.append(h)
-            out.append((h, *payload))
-        self._pending = {}
-        return out
+    # ---------------------------------------------------------- offer/resolve
+    # Round-local first-wins dedup fused into the shard: tasks OFFER candidate
+    # blocks during a round (any arrival order); RESOLVE deterministically
+    # keeps the minimum-sortkey offer per unseen hash, marks it seen, and
+    # returns the winner rows AS AN ARROW FRONTIER BLOCK that stays in the
+    # object store (the driver only ever holds the block's ObjectRef).  This
+    # replaces a per-round groupby(url_hash) shuffle — the shard actor IS the
+    # reduce point for its hash range — without the discoveries (which are
+    # NOT budget-bounded: pages x avg-links per round) ever round-tripping
+    # through the driver as Python objects.
+
+    def offer_table(self, t: "pa.Table") -> int:
+        """Queue one task's candidate block: columns (url_hash, sortkey,
+        url, host, parent_hash).  Dedup/seen-filtering is deferred to
+        :meth:`resolve_block` where it runs vectorized over the whole round."""
+        if not hasattr(self, "_pending_tables"):
+            self._pending_tables: list[pa.Table] = []
+        self._pending_tables.append(t)
+        return len(t)
+
+    def resolve_block(
+        self, priority: int, score: int, discovery_round: int,
+        now: float | None = None,
+    ) -> "pa.Table":
+        """First-wins winners since the last resolve, as a frontier block.
+
+        Winner per url_hash = minimum sortkey (golden spec: within a round
+        every discovery shares one score, so the key reduces to
+        ``parent_hash:dom_idx``); already-seen hashes drop; winners are
+        marked seen and logged for drain.  Returns a FRONTIER_SCHEMA table
+        (url_hash-sorted) built shard-side.
+        """
+        import pandas as pd
+
+        from crawler_ray.pipelines.crawl import FRONTIER_SCHEMA, _empty_frontier
+
+        tabs = getattr(self, "_pending_tables", None)
+        self._pending_tables = []
+        if not tabs:
+            return _empty_frontier()
+        t = pa.concat_tables(tabs)
+        df = t.to_pandas()
+        df.sort_values(["url_hash", "sortkey"], kind="mergesort", inplace=True)
+        df = df.drop_duplicates("url_hash", keep="first")
+        if self.backend == "exact":
+            df = df[~df["url_hash"].isin(self._exact)]
+            self._exact.update(df["url_hash"])
+            if self.ttl is not None:
+                stamp = now if now is not None else 0.0
+                self._stamps.update((h, stamp) for h in df["url_hash"])
+        else:
+            keep = np.ones(len(df), dtype=bool)
+            for i, h in enumerate(df["url_hash"]):
+                if self._contains(h):
+                    keep[i] = False
+                else:
+                    self._insert(h, now)
+            df = df[keep]
+        self._new_since_drain.extend(df["url_hash"])
+        n = len(df)
+        if not n:
+            return _empty_frontier()
+        return pa.table(
+            {
+                "url": pa.array(df["url"], type=pa.string()),
+                "url_hash": pa.array(df["url_hash"], type=pa.string()),
+                "host": pa.array(df["host"], type=pa.string()),
+                "priority": pa.array([priority] * n, type=pa.int32()),
+                "score": pa.array([score] * n, type=pa.int64()),
+                "discovery_round": pa.array([discovery_round] * n, type=pa.int32()),
+                "not_before_round": pa.array([0] * n, type=pa.int32()),
+                "retry_count": pa.array([0] * n, type=pa.int32()),
+                "lineage": pa.array(df["parent_hash"], type=pa.string()),
+            }
+        ).cast(FRONTIER_SCHEMA)
 
 
 class ShardedSeen:
@@ -186,18 +329,20 @@ class ShardedSeen:
     """
 
     def __init__(self, n_shards: int = 4, backend: str = "exact",
-                 capacity_per_shard: int = 1 << 20) -> None:
+                 capacity_per_shard: int = 1 << 20,
+                 ttl: float | None = None) -> None:
         import ray
 
         self.n_shards = n_shards
+        self.ttl = ttl
         self.shards = [
             ray.remote(SeenShard)
             .options(num_cpus=0.25, max_concurrency=1)
-            .remote(backend, capacity_per_shard)
+            .remote(backend, capacity_per_shard, ttl)
             for _ in range(n_shards)
         ]
 
-    def filter_new(self, hashes: list[str]) -> np.ndarray:
+    def filter_new(self, hashes: list[str], now: float | None = None) -> np.ndarray:
         """Mask of hashes never seen before (and mark them seen). Exact
         first-wins: per-hash routing + serialized actor execution."""
         import ray
@@ -210,21 +355,36 @@ class ShardedSeen:
         futs, idx_lists = [], []
         for s, idxs in enumerate(by_shard):
             if idxs:
-                futs.append(self.shards[s].seen_and_add.remote([hashes[i] for i in idxs]))
+                futs.append(
+                    self.shards[s].seen_and_add.remote(
+                        [hashes[i] for i in idxs], now
+                    )
+                )
                 idx_lists.append(idxs)
         out = np.zeros(len(hashes), dtype=bool)
         for idxs, mask in zip(idx_lists, ray.get(futs)):
             out[np.asarray(idxs)] = mask
         return out
 
-    def add_bulk(self, hashes: list[str]) -> None:
+    def expire(self, now: float) -> int:
+        """Apply the dedup-window TTL across all shards (no-op if ttl unset)."""
+        import ray
+
+        if self.ttl is None:
+            return 0
+        return int(sum(ray.get([s.expire.remote(now) for s in self.shards])))
+
+    def add_bulk(self, hashes: list[str], now: float | None = None) -> None:
+        """Bulk insert (checkpoint resume).  With TTL enabled the loaded
+        hashes are stamped at ``now`` — resume time approximates their
+        original insert time (the deltas don't persist stamps)."""
         import ray
 
         by_shard: list[list[str]] = [[] for _ in range(self.n_shards)]
         for h in hashes:
             by_shard[shard_of(h, self.n_shards)].append(h)
         ray.get([
-            self.shards[s].add_bulk.remote(hs)
+            self.shards[s].add_bulk.remote(hs, now)
             for s, hs in enumerate(by_shard) if hs
         ])
 
@@ -241,29 +401,40 @@ class ShardedSeen:
             out.extend(part)
         return out
 
-    def offer(self, hashes: list[str], keys: list[str], payloads: list[tuple]) -> int:
-        """Fan one batch's candidate rows out to their shards' pending pools."""
+    def drain_count(self) -> int:
+        """Total hashes added since the last drain; hashes stay shard-side."""
         import ray
 
-        if not hashes:
+        return int(sum(ray.get([s.drain_count.remote() for s in self.shards])))
+
+    def offer_block(self, t: "pa.Table") -> int:
+        """Fan one task's candidate block out to its shards as Arrow slices.
+
+        Runs INSIDE map_batches tasks (never on the driver); the block is
+        routed with the vectorized shard router and each shard receives a
+        zero-copy-serialized Arrow sub-table — no per-row Python tuples."""
+        import ray
+
+        if not len(t):
             return 0
-        by_shard: list[tuple[list, list, list]] = [([], [], []) for _ in range(self.n_shards)]
-        for h, k, p in zip(hashes, keys, payloads):
-            b = by_shard[shard_of(h, self.n_shards)]
-            b[0].append(h)
-            b[1].append(k)
-            b[2].append(p)
-        futs = [
-            self.shards[s].offer.remote(*b) for s, b in enumerate(by_shard) if b[0]
-        ]
+        sh = shard_of_batch(t["url_hash"].to_numpy(zero_copy_only=False),
+                            self.n_shards)
+        futs = []
+        for s in range(self.n_shards):
+            mask = sh == s
+            if mask.any():
+                futs.append(self.shards[s].offer_table.remote(t.filter(pa.array(mask))))
         return int(sum(ray.get(futs)))
 
-    def resolve(self) -> list[tuple]:
-        """Deterministic union of all shards' winners, url_hash-sorted."""
-        import ray
+    def resolve_refs(
+        self, priority: int, score: int, discovery_round: int,
+        now: float | None = None,
+    ) -> list:
+        """One ObjectRef per shard to that shard's winner FRONTIER block.
 
-        out: list[tuple] = []
-        for part in ray.get([s.resolve.remote() for s in self.shards]):
-            out.extend(part)
-        out.sort(key=lambda t: t[0])
-        return out
+        The driver passes these straight to ``ray.data.from_arrow_refs`` —
+        it holds O(shards) refs, never the winner rows themselves."""
+        return [
+            s.resolve_block.remote(priority, score, discovery_round, now)
+            for s in self.shards
+        ]

@@ -1,0 +1,112 @@
+"""ANN-LSH must actually PRUNE on clustered corpora (VERDICT r02 #4).
+
+On a corpus with real cluster structure (signal cosine ~0.9 vs background
+~0), auto-tuned bits-per-table must admit < 10 % of the corpus as
+candidates while keeping recall >= 0.6 vs exact brute force.  Also pins
+the vectorized candidate matcher against a straightforward per-row
+reference implementation.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from crawler_ray.stages.ann import (
+    HyperplaneLSH,
+    ann_topk,
+    lsh_candidate_pairs,
+    tune_lsh_bits,
+)
+
+DIM, N_CLUSTERS, PER_CLUSTER, N_Q, K = 32, 20, 100, 10, 5
+
+
+def _clustered_corpus(seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, PER_CLUSTER, axis=0) + 0.08 * rng.standard_normal(
+        (N_CLUSTERS * PER_CLUSTER, DIM)
+    )
+    ids = np.arange(len(X), dtype=np.int64)
+    # queries: perturbed members of the first N_Q clusters
+    Q = centers[:N_Q] + 0.05 * rng.standard_normal((N_Q, DIM))
+    q_ids = np.arange(10_000, 10_000 + N_Q, dtype=np.int64)
+    return X, ids, Q, q_ids
+
+
+def _brute_topk(X, ids, Q, q_ids):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Xn @ Qn.T
+    out = {}
+    for qi in range(len(q_ids)):
+        top = np.argsort(-sims[:, qi], kind="stable")[:K]
+        out[int(q_ids[qi])] = {int(ids[r]) for r in top}
+    return out
+
+
+def test_candidate_matcher_matches_per_row_reference():
+    rng = np.random.default_rng(3)
+    Xn = rng.standard_normal((500, DIM))
+    Xn /= np.linalg.norm(Xn, axis=1, keepdims=True)
+    Qn = rng.standard_normal((7, DIM))
+    Qn /= np.linalg.norm(Qn, axis=1, keepdims=True)
+    lsh = HyperplaneLSH(DIM, n_tables=6, n_bits=5)
+    qb = lsh.buckets(Qn)
+    rows, qs = lsh_candidate_pairs(lsh.planes, Xn, qb)
+    got = set(zip(rows.tolist(), qs.tolist()))
+
+    weights = 1 << np.arange(5, dtype=np.int64)
+    want = set()
+    for t in range(6):
+        xb = ((Xn @ lsh.planes[t].T) > 0) @ weights
+        for r in range(len(Xn)):
+            for q in range(len(Qn)):
+                if xb[r] == qb[q, t]:
+                    want.add((r, q))
+    assert got == want
+
+
+def test_tuned_bits_prune_clustered_corpus(ray_session):
+    import ray.data as rd
+
+    X, ids, Q, q_ids = _clustered_corpus()
+    n_tables = 16
+    # strided sample: representative of every cluster (an unrepresentative
+    # sample under-tunes toward recall, by design)
+    sample = X[::4]
+    bits = tune_lsh_bits(sample, Q, k=K, n_tables=n_tables)
+    assert bits >= 8, bits   # clustered signal supports aggressive tables
+
+    # candidate fraction measured over the FULL corpus, pure numpy
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    lsh = HyperplaneLSH(DIM, n_tables=n_tables, n_bits=bits)
+    rows, _ = lsh_candidate_pairs(lsh.planes, Xn, lsh.buckets(Qn))
+    frac = len(rows) / (len(X) * len(Q))
+    assert frac < 0.10, frac
+
+    # ... and recall vs brute force stays useful through the Ray pipeline
+    tbl = pa.table(
+        {"vec_id": pa.array(ids), "embedding": pa.array(list(map(list, X)))}
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    approx = {}
+    for r in ann_topk(
+        ds, q_ids, Q, k=K, n_tables=n_tables, train_sample=sample
+    ).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact = _brute_topk(X, ids, Q, q_ids)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert float(np.mean(recalls)) >= 0.6, recalls
+
+
+def test_tuning_backs_off_on_weak_similarity():
+    """Random embeddings have no signal gap: tuning must fall back to few
+    bits (recall preserved; pruning honestly impossible)."""
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((500, DIM))
+    Q = rng.standard_normal((8, DIM))
+    assert tune_lsh_bits(X, Q, k=K, n_tables=16) <= 6

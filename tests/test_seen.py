@@ -5,12 +5,31 @@ import hashlib
 import random
 
 import numpy as np
+import pyarrow as pa
 
-from crawler_ray.state.seen import CuckooFilter, SeenShard, shard_of
+from crawler_ray.state.seen import (
+    CuckooFilter,
+    SeenShard,
+    shard_of,
+    shard_of_batch,
+)
 
 
 def _hashes(n, salt=""):
     return [hashlib.sha256(f"{salt}{i}".encode()).hexdigest() for i in range(n)]
+
+
+def _offer_tbl(rows):
+    """rows: (url_hash, sortkey, url, host, parent)"""
+    return pa.table(
+        {
+            "url_hash": pa.array([r[0] for r in rows], type=pa.string()),
+            "sortkey": pa.array([r[1] for r in rows], type=pa.string()),
+            "url": pa.array([r[2] for r in rows], type=pa.string()),
+            "host": pa.array([r[3] for r in rows], type=pa.string()),
+            "parent_hash": pa.array([r[4] for r in rows], type=pa.string()),
+        }
+    )
 
 
 class TestCuckoo:
@@ -53,34 +72,62 @@ class TestSeenShard:
 
     def test_offer_resolve_min_key_any_arrival_order(self):
         """The winner per hash is the minimum sortkey regardless of the
-        order concurrent tasks offered in (round-local first-wins)."""
+        order concurrent tasks offered in (round-local first-wins), and the
+        resolved block is a FRONTIER_SCHEMA Arrow table built shard-side."""
         offers = [
-            ("h1", "parentB:00000005", ("uB", "hostx", "pB")),
-            ("h1", "parentA:00000002", ("uA", "hostx", "pA")),
-            ("h2", "parentC:00000001", ("uC", "hosty", "pC")),
-            ("h1", "parentA:00000001", ("uA1", "hostx", "pA")),
+            ("h1", "parentB:00000005", "uB", "hostx", "pB"),
+            ("h1", "parentA:00000002", "uA", "hostx", "pA"),
+            ("h2", "parentC:00000001", "uC", "hosty", "pC"),
+            ("h1", "parentA:00000001", "uA1", "hostx", "pA"),
         ]
         for perm_seed in range(4):
             s = SeenShard("exact")
             shuffled = offers[:]
             random.Random(perm_seed).shuffle(shuffled)
-            for h, k, p in shuffled:
-                s.offer([h], [k], [p])
-            winners = s.resolve()
-            assert [w[0] for w in winners] == ["h1", "h2"]  # hash-sorted
-            assert winners[0][1] == "uA1"  # min key wins
+            for row in shuffled:
+                s.offer_table(_offer_tbl([row]))
+            block = s.resolve_block(priority=5, score=123, discovery_round=7)
+            assert block["url_hash"].to_pylist() == ["h1", "h2"]  # hash-sorted
+            assert block["url"].to_pylist()[0] == "uA1"  # min key wins
+            assert block["score"].to_pylist() == [123, 123]
+            assert block["discovery_round"].to_pylist() == [7, 7]
+            assert block["lineage"].to_pylist() == ["pA", "pC"]
             # resolved hashes are now seen: further offers are rejected
-            s.offer(["h1"], ["parentZ:00000000"], [("uZ", "x", "z")])
-            assert s.resolve() == []
+            s.offer_table(_offer_tbl([("h1", "parentZ:00000000", "uZ", "x", "z")]))
+            assert len(s.resolve_block(5, 1, 8)) == 0
 
     def test_offer_skips_already_seen(self):
         s = SeenShard("exact")
         s.seen_and_add(["h1"])
         s.drain_new()
-        s.offer(["h1", "h2"], ["k1", "k2"], [("u1", "x", "p"), ("u2", "x", "p")])
-        winners = s.resolve()
-        assert [w[0] for w in winners] == ["h2"]
+        s.offer_table(
+            _offer_tbl(
+                [("h1", "k1", "u1", "x", "p"), ("h2", "k2", "u2", "x", "p")]
+            )
+        )
+        block = s.resolve_block(5, 1, 1)
+        assert block["url_hash"].to_pylist() == ["h2"]
         assert s.drain_new() == ["h2"]
+
+    def test_drain_count_matches_drain_new(self):
+        s = SeenShard("exact")
+        s.seen_and_add(["a", "b", "c"])
+        assert s.drain_count() == 3
+        assert s.drain_new() == []
+        s.seen_and_add(["d"])
+        assert s.drain_new() == ["d"]
+
+    def test_cuckoo_resolve_block_filters_seen(self):
+        s = SeenShard("cuckoo", capacity=1 << 12)
+        s.seen_and_add(["f" * 64])
+        s.drain_new()
+        s.offer_table(
+            _offer_tbl(
+                [("f" * 64, "k", "u", "x", "p"), ("a" * 64, "k", "u2", "x", "p")]
+            )
+        )
+        block = s.resolve_block(5, 1, 1)
+        assert block["url_hash"].to_pylist() == ["a" * 64]
 
     def test_cuckoo_backend_shard(self):
         s = SeenShard("cuckoo", capacity=1 << 12)
@@ -98,3 +145,11 @@ def test_shard_routing_deterministic():
     # roughly balanced
     counts = np.bincount(a, minlength=8)
     assert counts.min() > 60
+
+
+def test_shard_of_batch_matches_scalar():
+    hs = _hashes(5000)
+    for n in (2, 5, 8):
+        vec = shard_of_batch(hs, n)
+        assert vec.tolist() == [shard_of(h, n) for h in hs]
+    assert shard_of_batch([], 4).tolist() == []
