@@ -33,12 +33,20 @@ class HyperLogLog:
         h = np.asarray(hashes, dtype=np.uint64)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = h << np.uint64(self.p)
-        # rank = leading zeros of the remaining 64-p bits + 1
+        # rank = leading zeros of the remaining 64-p bits + 1, computed with
+        # an EXACT vectorized binary-search clz — float64 log2 rounds values
+        # within 2^11 of 2^64 up to exactly 2^64 (rank 0 instead of 1),
+        # which an integer-exact oracle recomputation can never reproduce
         rank = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
         nz = rest != 0
         if nz.any():
-            bits = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-            rank[nz] = (bits + 1).astype(np.uint8)
+            v = rest[nz].copy()
+            clz = np.zeros(v.shape, dtype=np.uint8)
+            for s in (32, 16, 8, 4, 2, 1):
+                m = v < (np.uint64(1) << np.uint64(64 - s))
+                clz[m] += np.uint8(s)
+                v[m] = v[m] << np.uint64(s)
+            rank[nz] = clz + np.uint8(1)
         np.maximum.at(self.registers, idx, rank)
 
     def add_strings(self, values) -> None:

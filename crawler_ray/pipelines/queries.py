@@ -1615,6 +1615,44 @@ def q_event_user_hll(sf_dir: str):
     )
 
 
+# Full-SQL recomputation of the engine's HLL (functions/sketch.py): same
+# md5-low-64 hash (the CONCAT('0x', substr(md5..)) trick matches python
+# int.from_bytes(md5[8:], 'big')), same p=12 register layout (idx = top 12
+# bits, rank = clz of the remaining 52 bits + 1 — exact via bin() string
+# length), same alpha / linear-counting estimator.  Sketches are mergeable
+# maxes, so the engine's partial-per-batch + merge equals one pass.
+SQL_EVENT_USER_HLL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)),17,16))
+                  AS UBIGINT) AS hv
+      FROM du),
+r AS (SELECT event_type,
+             CAST(hv >> 52 AS INTEGER) AS idx,
+             CAST(CAST(hv AS HUGEINT) * 4096 % 18446744073709551616
+                  AS UBIGINT) AS rest
+      FROM h),
+rk AS (SELECT event_type, idx,
+              CASE WHEN rest = 0 THEN 53
+                   ELSE 65 - length(bin(rest)) END AS rank
+       FROM r),
+regs AS (SELECT event_type, idx, MAX(rank) AS reg FROM rk GROUP BY 1, 2),
+agg AS (SELECT event_type,
+               SUM(POWER(2.0, -reg)) + (4096 - COUNT(*)) AS denom,
+               4096 - COUNT(*) AS zeros
+        FROM regs GROUP BY 1),
+est AS (SELECT event_type,
+               (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / denom AS raw,
+               zeros
+        FROM agg)
+SELECT event_type,
+       CAST(ROUND(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                       THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END)
+            AS BIGINT) AS approx_distinct_users
+FROM est
+"""
+
+
 @_functools.lru_cache(maxsize=1)
 def _sql_workflow_scrape() -> str:
     """Sequential VALUES oracle for the crawl->scrape workflow: replays the
@@ -1801,18 +1839,31 @@ def q_workflow_api(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Crawl -> media spans -> actor-pool decode (rows-only: the payloads
-    are REAL spec-conformant PNG bytes and codec="png" performs an actual
-    stdlib decode — chunk walk, CRC checks, filter reconstruction — not a
-    fake; see crawler_ray/functions/png.py)."""
-    import ray.data as _rd
-
+    """Crawl -> media spans -> actor-pool decode.  The payloads are REAL
+    spec-conformant PNG bytes and codec="png" performs an actual stdlib
+    decode (chunk walk, CRC checks, filter reconstruction — see
+    crawler_ray/functions/png.py); ``thumb_sum`` (sum of the decoded 8x8
+    thumbnail's pixels) makes the output depend on the decoded IMAGE
+    CONTENT, so the golden-VALUES oracle (:func:`_sql_media_decode`, a
+    sequential no-Ray replay) verifies the distributed decode itself."""
     from crawler_ray.pipelines.crawl import CrawlEngine
     from crawler_ray.sources.miniweb import MiniWeb
     from crawler_ray.stages.media import MediaDecodeStage, media_rows_from_spans
 
     web = MiniWeb(n_docs=100)
     res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
+
+    def thumb_sums(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(t["thumb"]).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(t["thumb"]).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        sums = (np.add.reduceat(flat.astype(np.int64), offs)
+                if len(flat) else np.zeros(len(t), dtype=np.int64))
+        return t.append_column("thumb_sum", pa.array(sums, type=pa.int64()))
+
     return (
         res.pages.map_batches(media_rows_from_spans, batch_format="pyarrow")
         .map_batches(
@@ -1820,7 +1871,41 @@ def q_media_decode(sf_dir: str):
             fn_constructor_kwargs={"codec": "png"},
             batch_size=32, concurrency=2, num_cpus=1, batch_format="pyarrow",
         )
-        .select_columns(["media_ref", "kind", "n_bytes", "thumb_h", "thumb_w"])
+        .map_batches(thumb_sums, batch_format="pyarrow")
+        .select_columns(
+            ["media_ref", "kind", "n_bytes", "thumb_h", "thumb_w", "thumb_sum"]
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_media_decode() -> str:
+    """Golden-derived VALUES oracle for the multimodal path: replay the
+    same crawl with the sequential golden interpreter, then encode+decode
+    every media payload with the pure stdlib PNG codec (no Ray) — the
+    driver compare checks the distributed actor-pool decode bit-for-bit
+    (n_bytes = real encoded size, thumb_sum = decoded-pixel checksum)."""
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import MediaDecodeStage, png_payload
+
+    res = golden_crawl(MiniWeb(n_docs=100), budget_per_host=16, max_rounds=24)
+    stage = MediaDecodeStage(codec="png")
+    rows = []
+    for p in res.pages:
+        for s in p["spans"]:
+            if s["kind"] == "media" and s["media_ref"]:
+                payload = png_payload(s["media_ref"])
+                thumb, _feat, _ih, _iw = stage._decode_png_one(payload)
+                rows.append(
+                    "('{}', 'image', {}, 8, 8, {})".format(
+                        s["media_ref"].replace("'", "''"),
+                        len(payload), int(thumb.astype(int).sum()),
+                    )
+                )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_ref, "
+        "kind, n_bytes, thumb_h, thumb_w, thumb_sum)"
     )
 
 
@@ -1899,7 +1984,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_documents": _sql_crawl_documents(),
         "workflow_scrape": _sql_workflow_scrape(),
         "workflow_api": _sql_workflow_api(),
-        # rows-only: crawl_documents / workflow_scrape (golden-interpreter
-        # conformance), knn_ann_* / event_user_hll (approximate by design),
-        # media_decode (codec stub)
+        "media_decode": _sql_media_decode(),
+        "event_user_hll": SQL_EVENT_USER_HLL,
+        # rows-only: knn_ann_lsh / knn_ann_ivf (approximate by design;
+        # recall vs the exact brute force asserted in tests/test_ann_*.py)
     }
