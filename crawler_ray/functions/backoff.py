@@ -36,9 +36,15 @@ TIMEOUT = "timeout"
 CLIENT_ERROR = "client_error"
 SERVER_ERROR = "server_error"
 NETWORK_ERROR = "network_error"
+BROWSER_CRASH = "browser_crash"
+VALIDATION_ERROR = "validation_error"
+RESOURCE_UNAVAILABLE = "resource_unavailable"
 UNKNOWN = "unknown"
 
-RETRYABLE = frozenset({RATE_LIMIT, TIMEOUT, SERVER_ERROR, NETWORK_ERROR})
+RETRYABLE = frozenset(
+    {RATE_LIMIT, TIMEOUT, SERVER_ERROR, NETWORK_ERROR, BROWSER_CRASH,
+     RESOURCE_UNAVAILABLE}
+)
 
 
 def classify_status(status: int) -> str:
@@ -60,6 +66,115 @@ def classify_status(status: int) -> str:
 
 def is_retryable(category: str) -> bool:
     return category in RETRYABLE
+
+
+# exception-name groups (retry_policy.py:143-340; name-based so the engine
+# classifies exception shapes from any fetch backend without importing it)
+_TIMEOUT_NAMES = frozenset({"TimeoutError", "ConnectTimeout", "ReadTimeout"})
+_NETWORK_NAMES = frozenset(
+    {"ConnectionError", "DNSError", "SSLError",
+     "ConnectionRefusedError", "ConnectionResetError"}
+)
+_HTTPX_NETWORK_NAMES = frozenset(
+    {"ConnectError", "ReadError", "WriteError", "PoolTimeout", "ProtocolError"}
+)
+_BROWSER_CRASH_NAMES = frozenset(
+    {"BrowserCrashError", "InstanceCrashError", "TargetClosedError",
+     "BrowserContextClosedError", "PageClosedError"}
+)
+_VALIDATION_NAMES = frozenset(
+    {"StepValidationError", "ValidationError", "ValueError"}
+)
+
+
+def classify_exception(exc: Exception) -> str:
+    """Python exception -> error category (retry_policy.py:143-340).
+
+    Precedence mirrors the reference: explicit timeout names, network names,
+    httpx network names, browser-crash names (ours adds the pool's
+    ``InstanceCrashError``, the engine's browser-crash analogue), the
+    name-substring timeout heuristic, validation names, MemoryError /
+    OSError resource exhaustion, else unknown (conservatively permanent —
+    ``is_retryable(UNKNOWN)`` is False).
+    """
+    name = type(exc).__name__
+    module = type(exc).__module__
+    if name in _TIMEOUT_NAMES:
+        return TIMEOUT
+    if name in _NETWORK_NAMES:
+        return NETWORK_ERROR
+    if module == "httpx" and name in _HTTPX_NETWORK_NAMES:
+        return NETWORK_ERROR
+    if name in _BROWSER_CRASH_NAMES:
+        return BROWSER_CRASH
+    if "timeout" in name.lower() or "TimeoutException" in name:
+        return TIMEOUT
+    if name in _VALIDATION_NAMES:
+        return VALIDATION_ERROR
+    if name == "MemoryError" or isinstance(exc, OSError):
+        return RESOURCE_UNAVAILABLE
+    return UNKNOWN
+
+
+def get_error_context(exc: Exception) -> dict[str, str]:
+    """Error details for DLQ/log rows (retry_policy.py:343-358)."""
+    import traceback
+
+    return {
+        "exception_type": type(exc).__name__,
+        "exception_module": type(exc).__module__,
+        "error_message": str(exc),
+        "stack_trace": "".join(
+            traceback.format_exception(type(exc), exc, exc.__traceback__)
+        ),
+    }
+
+
+class ErrorClassificationRule:
+    """User-supplied classification rule (retry_policy.py:364-417).
+
+    ``predicate(exc, status_code) -> bool``; first matching rule wins.
+    ``is_retryable=None`` means "no override" — the category default
+    (:func:`is_retryable`) applies.
+    """
+
+    def __init__(self, name: str, predicate, category: str, reason: str,
+                 is_retryable: bool | None = None) -> None:
+        if not name:
+            raise ValueError("Rule name cannot be empty")
+        if predicate is None:
+            raise ValueError("Rule predicate cannot be None")
+        if not callable(predicate):
+            raise ValueError("Rule predicate must be callable")
+        if not reason:
+            raise ValueError("Rule reason cannot be empty")
+        self.name = name
+        self.predicate = predicate
+        self.category = category
+        self.reason = reason
+        self.is_retryable = is_retryable
+
+
+def classify_with_custom_rules(
+    exc: Exception | None = None,
+    http_status: int | None = None,
+    custom_rules: list[ErrorClassificationRule] | None = None,
+) -> tuple[str, bool | None]:
+    """(category, retryable-override) with custom rules tried first, in
+    order; a rule whose predicate raises is skipped (retry_policy.py:420-516).
+    Fallback precedence: HTTP status, then exception, then unknown."""
+    if custom_rules:
+        for rule in custom_rules:
+            try:
+                if rule.predicate(exc, http_status):
+                    return rule.category, rule.is_retryable
+            except Exception:
+                continue  # reference: log and skip broken rules
+    if http_status is not None:
+        return classify_status(http_status), None
+    if exc is not None:
+        return classify_exception(exc), None
+    return UNKNOWN, None
 
 
 @dataclass(frozen=True)

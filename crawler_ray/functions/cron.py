@@ -9,13 +9,21 @@ standard semantics:
 
 - fields: minute hour day-of-month month day-of-week (0=Sunday, 7=Sunday);
 - each field: ``*``, ``N``, ``A-B``, ``*/S``, ``A-B/S``, comma lists;
+- extended aliases (reference ``cron.py:23-28``): ``@yearly`` ``@annually``
+  ``@monthly`` ``@weekly`` ``@daily`` ``@midnight`` ``@hourly``;
 - day-of-month vs day-of-week: if both are restricted, a date matches when
   EITHER matches (POSIX cron rule);
 - :func:`next_run` returns the first matching minute strictly after ``now``;
-- timestamps are timezone-aware; DST-safe because iteration happens on the
-  UTC timeline and conversion to the schedule's zone happens per candidate
-  (the reference's "skip nonexistent local times, don't double-fire" policy
-  falls out of this for free).
+- DST (reference ``crawler/utils/dst.py:36-227`` semantics): with no ``tz``
+  the schedule lives on the UTC timeline, which has no transitions.  With a
+  zone, candidates are iterated on the LOCAL wall-clock timeline:
+  * spring forward — a schedule falling in the skipped hour fires at the
+    first valid instant after the gap (``0 2`` -> 3:00 local, fold-0
+    resolution), never silently skips to the next day;
+  * fall back — a schedule in the repeated hour fires on the FIRST
+    occurrence only (fold=0); re-scheduling from that fire time cannot
+    double-fire because candidates strictly follow the local minute just
+    fired.
 """
 
 from __future__ import annotations
@@ -23,6 +31,16 @@ from __future__ import annotations
 from datetime import datetime, timedelta, timezone
 
 FIELD_RANGES = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
+
+ALIASES = {
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+    "@monthly": "0 0 1 * *",
+    "@weekly": "0 0 * * 0",
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@hourly": "0 * * * *",
+}
 
 
 def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
@@ -56,6 +74,7 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
 
 class CronSchedule:
     def __init__(self, expression: str) -> None:
+        expression = ALIASES.get(expression.strip(), expression)
         fields = expression.split()
         if len(fields) != 5:
             raise ValueError(f"cron expression must have 5 fields: {expression!r}")
@@ -85,15 +104,41 @@ class CronSchedule:
         return dom_ok or dow_ok  # POSIX: either restricted field may match
 
     def next_run(self, now: datetime, tz=None) -> datetime:
-        """First matching minute strictly after ``now`` (searches 4 years)."""
+        """First matching minute strictly after ``now``, in UTC (searches 4
+        years).  ``tz`` (tzinfo or IANA name) evaluates the schedule on that
+        zone's wall clock with the DST policy in the module docstring."""
         if now.tzinfo is None:
             now = now.replace(tzinfo=timezone.utc)
-        cursor = (now + timedelta(minutes=1)).replace(second=0, microsecond=0)
+        if tz is None:
+            cursor = (now + timedelta(minutes=1)).replace(second=0, microsecond=0)
+            limit = cursor + timedelta(days=4 * 366)
+            while cursor <= limit:
+                if self.matches(cursor):
+                    return cursor
+                cursor += timedelta(minutes=1)
+            raise ValueError(f"no next run within 4 years for {self.expression!r}")
+        if isinstance(tz, str):
+            from zoneinfo import ZoneInfo
+
+            tz = ZoneInfo(tz)
+        # local wall-clock iteration (the reference evaluates the expression
+        # in the schedule's zone and converts the result to UTC)
+        cursor = now.astimezone(tz).replace(
+            tzinfo=None, second=0, microsecond=0
+        ) + timedelta(minutes=1)
         limit = cursor + timedelta(days=4 * 366)
         while cursor <= limit:
-            local = cursor.astimezone(tz) if tz is not None else cursor
-            if self.matches(local):
-                return cursor
+            if self.matches(cursor):
+                # fold=0: ambiguous (fall-back) times resolve to their FIRST
+                # occurrence; nonexistent (spring-forward) times resolve to
+                # the first instant after the gap (pre-gap offset applied)
+                resolved = cursor.replace(tzinfo=tz, fold=0).astimezone(
+                    timezone.utc
+                )
+                if resolved > now:
+                    return resolved
+                # e.g. ``now`` sits in the second pass of a repeated hour:
+                # the fold-0 candidate is in the past — keep scanning
             cursor += timedelta(minutes=1)
         raise ValueError(f"no next run within 4 years for {self.expression!r}")
 

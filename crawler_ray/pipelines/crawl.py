@@ -62,6 +62,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from crawler_ray.functions.backoff import is_retryable as bk_is_retryable
 from crawler_ray.functions.url import normalize_and_hash
 from crawler_ray.pipelines.golden import (
     MAX_RETRIES,
@@ -133,19 +134,57 @@ def _threshold_mask(t: pa.Table, thr: tuple[dict, dict], rr: int) -> pa.Array:
     return pc.fill_null(sel, False)
 
 
-def _retryable_masks(t: pa.Table, max_retries: int):
+def _status_decisions(statuses, rules) -> dict[int, tuple[str, bool]]:
+    """status -> (error_category, retryable) honoring custom classification
+    rules (reference retry_policy.py:420-516: rules first, in order, broken
+    predicates skipped).  Unmatched statuses keep the golden-spec coarse
+    classification (429/5xx retryable "server_error", else "not_found") so
+    conformance is byte-identical when no rule matches.  Evaluated once per
+    DISTINCT status so Python predicates never run per row."""
+    out: dict[int, tuple[str, bool]] = {}
+    for s in statuses:
+        matched = None
+        for rule in rules or ():
+            try:
+                if rule.predicate(None, s):
+                    matched = rule
+                    break
+            except Exception:
+                continue
+        if matched is not None:
+            retry = (matched.is_retryable
+                     if matched.is_retryable is not None
+                     else bk_is_retryable(matched.category))
+            out[s] = (matched.category, retry)
+        else:
+            retry = s == 429 or s >= 500
+            out[s] = ("server_error" if retry else "not_found", retry)
+    return out
+
+
+def _retryable_masks(t: pa.Table, max_retries: int, rules=None):
     """(retryable, re-enqueue) masks over a failed-rows table."""
-    retryable = pc.or_(
-        pc.equal(t["status"], 429), pc.greater_equal(t["status"], 500)
-    )
+    if rules:
+        dec = _status_decisions(pc.unique(t["status"]).to_pylist(), rules)
+        retry_set = pa.array(
+            [s for s, (_c, rt) in dec.items() if rt],
+            type=t.schema.field("status").type,
+        )
+        retryable = pc.is_in(t["status"], value_set=retry_set)
+    else:
+        retryable = pc.or_(
+            pc.equal(t["status"], 429), pc.greater_equal(t["status"], 500)
+        )
     again = pc.and_(retryable, pc.less(t["retry_count"], max_retries))
     return retryable, again
 
 
-def _retry_frontier_rows(t: pa.Table, r: int, max_retries: int) -> pa.Table:
+def _retry_frontier_rows(
+    t: pa.Table, r: int, max_retries: int, rules=None
+) -> pa.Table:
     """Vectorized retry re-enqueue: failed rows -> FRONTIER rows with
     exponential backoff (min(2^retry_count, 8) rounds, golden spec)."""
-    _, again = _retryable_masks(t, max_retries)
+    _, again = _retryable_masks(t, max_retries, rules)
     f = t.filter(again)
     n = len(f)
     rc = pc.cast(f["retry_count"], pa.int32())
@@ -171,14 +210,20 @@ def _retry_frontier_rows(t: pa.Table, r: int, max_retries: int) -> pa.Table:
     ).cast(FRONTIER_SCHEMA)
 
 
-def _dlq_table(t: pa.Table, r: int, max_retries: int) -> pa.Table:
+def _dlq_table(t: pa.Table, r: int, max_retries: int, rules=None) -> pa.Table:
     """Vectorized dead-letter rows: non-retryable or retry-exhausted."""
-    _, again = _retryable_masks(t, max_retries)
+    _, again = _retryable_masks(t, max_retries, rules)
     f = t.filter(pc.invert(again))
-    retryable_f, _ = _retryable_masks(f, max_retries)
-    cat = pc.if_else(
-        retryable_f, pa.scalar("server_error"), pa.scalar("not_found")
-    )
+    if rules:
+        uniq = pc.unique(f["status"])
+        dec = _status_decisions(uniq.to_pylist(), rules)
+        cats = pa.array([dec[s][0] for s in uniq.to_pylist()], pa.string())
+        cat = pc.take(cats, pc.index_in(f["status"], value_set=uniq))
+    else:
+        retryable_f, _ = _retryable_masks(f, max_retries)
+        cat = pc.if_else(
+            retryable_f, pa.scalar("server_error"), pa.scalar("not_found")
+        )
     return pa.table(
         {
             "url": f["url"],
@@ -226,6 +271,9 @@ class CrawlEngine:
         selection: str = "driver",          # "driver" | "distributed"
         seen_ttl: float | None = None,      # dedup window in seconds (ref: 24 h)
         clock=None,                         # () -> float; injectable for tests
+        classification_rules=None,          # [ErrorClassificationRule] (ref
+                                            # retry_policy.py:364-516): first
+                                            # match overrides retry/DLQ category
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -250,6 +298,7 @@ class CrawlEngine:
         # without duplicate pages).
         self.cancel_check = cancel_check
         self.cancelled = False
+        self.classification_rules = list(classification_rules or [])
         # Conformance mode: accumulate full crawl order + seen log on the
         # driver for golden-equality checks.  Default (False) keeps driver
         # state O(budget x hosts) per round; order/seen deltas stream to the
@@ -681,8 +730,12 @@ class CrawlEngine:
                     break
                 retry_rows = []
                 round_dlq = []
+                dec = _status_decisions(
+                    {row["status"] for row in failed_rows},
+                    self.classification_rules,
+                )
                 for row in failed_rows:
-                    retryable = row["status"] == 429 or row["status"] >= 500
+                    category, retryable = dec[row["status"]]
                     if retryable and row["retry_count"] < self.max_retries:
                         retry_rows.append(
                             {
@@ -700,7 +753,7 @@ class CrawlEngine:
                             {
                                 "url": row["url"], "url_hash": row["url_hash"],
                                 "status": row["status"], "round": r,
-                                "error_category": "server_error" if retryable else "not_found",
+                                "error_category": category,
                                 "retry_count": row["retry_count"],
                             }
                         )
@@ -723,15 +776,18 @@ class CrawlEngine:
                 if self._cancel_requested():
                     break
                 mx = self.max_retries
+                rls = self.classification_rules
                 retries_ds = failed_ds.map_batches(
-                    lambda t, r=r, mx=mx: _retry_frontier_rows(t, r, mx),
+                    lambda t, r=r, mx=mx, rls=rls: _retry_frontier_rows(
+                        t, r, mx, rls
+                    ),
                     batch_format="pyarrow",
                 )
                 n_retries = retries_ds.count()
                 round_dlq = []
                 if self.record_history:
                     round_dlq = failed_ds.map_batches(
-                        lambda t, r=r, mx=mx: _dlq_table(t, r, mx),
+                        lambda t, r=r, mx=mx, rls=rls: _dlq_table(t, r, mx, rls),
                         batch_format="pyarrow",
                     ).take_all()
                     self._driver_rows += len(round_dlq)

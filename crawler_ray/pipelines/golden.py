@@ -78,6 +78,24 @@ def backoff_rounds(retry_count: int) -> int:
     return min(2 ** retry_count, 8)
 
 
+def _classify(status: int, rules) -> tuple[str, bool]:
+    """(category, retryable) for a failed fetch — the sequential twin of the
+    engine's ``crawl._status_decisions`` (same rule-first, golden-fallback
+    order; reference retry_policy.py:420-516)."""
+    from crawler_ray.functions.backoff import is_retryable as _bk_retryable
+
+    for rule in rules or ():
+        try:
+            if rule.predicate(None, status):
+                retry = (rule.is_retryable if rule.is_retryable is not None
+                         else _bk_retryable(rule.category))
+                return rule.category, retry
+        except Exception:
+            continue
+    retry = status == 429 or status >= 500
+    return ("server_error" if retry else "not_found", retry)
+
+
 @dataclass
 class FrontierRow:
     url: str
@@ -107,6 +125,7 @@ def golden_crawl(
     robots: RobotsPolicy | None = None,
     max_retries: int = MAX_RETRIES,
     initial_seen: set[str] | None = None,
+    classification_rules=None,
 ) -> GoldenResult:
     """Run the crawl spec sequentially over a MiniWeb.
 
@@ -193,8 +212,14 @@ def golden_crawl(
                                         PRIORITY_DISCOVERED, child_score, r + 1,
                                         lineage=f.url_hash),
                         )
-            elif status in (429,) or status >= 500:
-                if f.retry_count < max_retries:
+            else:
+                # failure classification: custom rules first (reference
+                # retry_policy.py:420-516), else the golden coarse spec
+                # (429/5xx retryable "server_error", other "not_found")
+                category, retryable = _classify(
+                    status, classification_rules
+                )
+                if retryable and f.retry_count < max_retries:
                     nb = r + 1 + backoff_rounds(f.retry_count)
                     frontier.append(
                         FrontierRow(f.url, f.url_hash, f.host, PRIORITY_RETRY,
@@ -206,13 +231,8 @@ def golden_crawl(
                 else:
                     res.dlq.append({"url": f.url, "url_hash": f.url_hash,
                                     "status": status, "round": r,
-                                    "error_category": "server_error",
+                                    "error_category": category,
                                     "retry_count": f.retry_count})
-            else:  # 4xx non-retryable
-                res.dlq.append({"url": f.url, "url_hash": f.url_hash,
-                                "status": status, "round": r,
-                                "error_category": "not_found",
-                                "retry_count": f.retry_count})
 
         for lh, (_, row) in discoveries.items():
             if lh not in res.seen:

@@ -33,9 +33,12 @@ pagination caps and page size.  Unbounded-frontier crawling is the flagship
 
 from __future__ import annotations
 
+import json
 import time
+from collections import Counter
 from dataclasses import dataclass, field as dc_field
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -111,10 +114,20 @@ class WorkflowRunner:
     (status, html)``)."""
 
     def __init__(self, web, fetch_batch_size: int = SCRAPE_FETCH_BATCH,
-                 max_pages_default: int = 100) -> None:
+                 max_pages_default: int = 100,
+                 classification_rules=None) -> None:
         self.web = web
         self.fetch_batch_size = fetch_batch_size
         self.max_pages_default = max_pages_default
+        # user-extension seam (reference retry_policy.py:364-516): custom
+        # ErrorClassificationRule list applied — first match wins — when
+        # classifying failed fetches in scrape steps; falls back to the
+        # standard status classifier.  Evaluated per DISTINCT status inside
+        # each batch, never per row.
+        self.classification_rules = list(classification_rules or [])
+        # diagnostic: per-item rows collected onto the driver (tests assert
+        # dataset-mode scrapes keep this O(error samples), not O(items))
+        self._driver_items = 0
 
     # ------------------------------------------------------------ fetch
     def _fetch_ds(self, urls: list[str]) -> "rd.Dataset":
@@ -301,16 +314,25 @@ class WorkflowRunner:
                                            selectors=selectors)
 
         method = step.method
+        rules = self.classification_rules
 
         def scrape(t: pa.Table) -> pa.Table:
             import json as _json
 
-            items, oks, errs = [], [], []
+            from crawler_ray.functions.backoff import classify_with_custom_rules
+
+            items, errs, cats = [], [], []
+            status_cats: dict[int, str] = {}  # classify once per distinct status
             for url, html_body, status in zip(
                 t["url"].to_pylist(), t["html"].to_pylist(), t["status"].to_pylist()
             ):
                 if status != 200 or not html_body:
                     errs.append(f"HTTP {status}: {url}")
+                    if status not in status_cats:
+                        status_cats[status] = classify_with_custom_rules(
+                            http_status=status, custom_rules=rules
+                        )[0]
+                    cats.append(status_cats[status])
                     continue
                 if method == "api":
                     # JSON body + dot-path selectors (api_executor.py:162-176:
@@ -319,6 +341,8 @@ class WorkflowRunner:
                         data = _json.loads(html_body)
                     except ValueError as e:
                         errs.append(f"Failed to parse JSON response: {url}")
+                        cats.append(classify_with_custom_rules(
+                            exc=e, custom_rules=rules)[0])
                         continue
                     fields = {
                         name: json_path_soft(data, path)
@@ -327,15 +351,7 @@ class WorkflowRunner:
                 else:
                     fields = extract_fields(html_body, selectors) if selectors else {}
                 items.append({"_url": url, **{k: v for k, v in fields.items()}})
-                oks.append(url)
-            import json as _json
-
             return pa.table(
-                {
-                    "item": pa.array([_json.dumps(i, ensure_ascii=False) for i in items]),
-                    "error": pa.array([None] * len(items), type=pa.string()),
-                }
-            ) if not errs else pa.table(
                 {
                     "item": pa.array(
                         [_json.dumps(i, ensure_ascii=False) for i in items]
@@ -343,12 +359,67 @@ class WorkflowRunner:
                         type=pa.string(),
                     ),
                     "error": pa.array([None] * len(items) + errs, type=pa.string()),
+                    "error_category": pa.array(
+                        [None] * len(items) + cats, type=pa.string()
+                    ),
                 }
             )
 
         import json as _json
 
-        out_rows = self._fetch_ds(urls).map_batches(scrape, batch_format="pyarrow").take_all()
+        out_ds = self._fetch_ds(urls).map_batches(scrape, batch_format="pyarrow")
+        if step.config.get("output") == "dataset":
+            # Scale mode (opt-in): items stay a distributed Dataset — the
+            # driver sees only O(blocks) count rows and <= 5 error samples,
+            # never the items themselves.  Identical row content to list
+            # mode (tests/test_workflow.py::test_scrape_dataset_mode).
+            out_ds = out_ds.materialize()
+            count_rows = out_ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "n_ok": pa.array(
+                            [len(t) - t["item"].null_count], pa.int64()
+                        ),
+                        "n_err": pa.array([t["item"].null_count], pa.int64()),
+                        "cats": pa.array(
+                            [json.dumps(dict(Counter(
+                                c for c in t["error_category"].to_pylist()
+                                if c is not None
+                            )))],
+                            pa.string(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            err_rows = out_ds.map_batches(
+                lambda t: t.filter(pc.is_valid(t["error"]))
+                .select(["error", "error_category"]),
+                batch_format="pyarrow",
+            ).limit(5).take_all()
+            self._driver_items += len(count_rows) + len(err_rows)
+            out = {
+                "items": None,
+                "items_ds": out_ds,
+                "success_count": int(sum(r["n_ok"] for r in count_rows)),
+                "error_count": int(sum(r["n_err"] for r in count_rows)),
+                "errors": [r["error"] for r in err_rows],
+                "error_categories": dict(sum(
+                    (Counter(json.loads(r["cats"])) for r in count_rows),
+                    Counter(),
+                )),
+                "quarantined": quarantined,
+            }
+            StepValidator().validate_output(
+                step.name, "scrape", {"items": []},
+                {"total_urls": len(urls),
+                 "successful_urls": out["success_count"],
+                 "failed_urls": out["error_count"]},
+            )
+            return out
+
+        out_rows = out_ds.take_all()
+        self._driver_items += len(out_rows)
         items = [_json.loads(r["item"]) for r in out_rows if r["item"] is not None]
         errors = [r["error"] for r in out_rows if r["error"] is not None]
         out = {
@@ -356,6 +427,13 @@ class WorkflowRunner:
             "success_count": len(items),
             "error_count": len(errors),
             "errors": errors[:5],  # reference truncation (scrape_executor.py:209-211)
+            "error_categories": dict(
+                Counter(
+                    r["error_category"]
+                    for r in out_rows
+                    if r["error_category"] is not None
+                )
+            ),
             "quarantined": quarantined,
         }
         # typed output validation (step_validator.py:146-184)

@@ -78,3 +78,120 @@ def test_next_delay_decision():
     # attempts exhausted
     cat, retry, delay = next_delay(500, 99)
     assert not retry
+
+
+# ---------------------------------------------------------------- exceptions
+# (reference test_retry_policy.py:72-96 + custom-rule suite :425-722)
+
+def test_classify_exception_vectors():
+    from crawler_ray.functions.backoff import (
+        BROWSER_CRASH, NETWORK_ERROR, RESOURCE_UNAVAILABLE, VALIDATION_ERROR,
+        classify_exception,
+    )
+
+    assert classify_exception(ConnectionError("refused")) == NETWORK_ERROR
+    assert classify_exception(ConnectionResetError()) == NETWORK_ERROR
+    assert classify_exception(TimeoutError("slow")) == TIMEOUT
+    assert classify_exception(ValueError("bad config")) == VALIDATION_ERROR
+    assert classify_exception(MemoryError()) == RESOURCE_UNAVAILABLE
+    assert classify_exception(OSError(28, "no space")) == RESOURCE_UNAVAILABLE
+    assert classify_exception(RuntimeError("???")) == UNKNOWN
+    # name-substring timeout heuristic (retry_policy.py:247-260)
+    PlaywrightTimeoutError = type("PlaywrightTimeoutError", (Exception,), {})
+    assert classify_exception(PlaywrightTimeoutError()) == TIMEOUT
+    # pool crash exception maps to the browser-crash analogue
+    from crawler_ray.stages.pool import InstanceCrashError
+
+    assert classify_exception(InstanceCrashError("dead")) == BROWSER_CRASH
+    assert is_retryable(BROWSER_CRASH) and is_retryable(RESOURCE_UNAVAILABLE)
+    assert not is_retryable(VALIDATION_ERROR)
+
+
+def test_get_error_context_includes_stack_trace():
+    from crawler_ray.functions.backoff import get_error_context
+
+    try:
+        raise ValueError("boom")
+    except ValueError as e:
+        ctx = get_error_context(e)
+    assert ctx["exception_type"] == "ValueError"
+    assert ctx["error_message"] == "boom"
+    assert "ValueError: boom" in ctx["stack_trace"]
+
+
+def test_custom_rule_validation():
+    import pytest
+
+    from crawler_ray.functions.backoff import ErrorClassificationRule
+
+    with pytest.raises(ValueError):
+        ErrorClassificationRule("", lambda e, s: True, RATE_LIMIT, "r")
+    with pytest.raises(ValueError):
+        ErrorClassificationRule("n", None, RATE_LIMIT, "r")
+    with pytest.raises(ValueError):
+        ErrorClassificationRule("n", "not-callable", RATE_LIMIT, "r")
+    with pytest.raises(ValueError):
+        ErrorClassificationRule("n", lambda e, s: True, RATE_LIMIT, "")
+
+
+def test_custom_rules_first_match_wins_and_fallback():
+    from crawler_ray.functions.backoff import (
+        ErrorClassificationRule, classify_with_custom_rules,
+    )
+
+    first = ErrorClassificationRule(
+        "first", lambda e, s: s == 503, RATE_LIMIT, "maintenance window",
+        is_retryable=True,
+    )
+    second = ErrorClassificationRule(
+        "second", lambda e, s: s == 503, SERVER_ERROR, "shadowed",
+    )
+    # in-order evaluation: first matching rule wins (ref :470-497)
+    assert classify_with_custom_rules(
+        http_status=503, custom_rules=[first, second]
+    ) == (RATE_LIMIT, True)
+    # no rule matches -> standard status classification, no override (:498-518)
+    assert classify_with_custom_rules(
+        http_status=404, custom_rules=[first, second]
+    ) == (NOT_FOUND, None)
+    # empty / None rule lists use standard classification (:598-611)
+    assert classify_with_custom_rules(http_status=429) == (RATE_LIMIT, None)
+    assert classify_with_custom_rules(http_status=429, custom_rules=[]) == (
+        RATE_LIMIT, None,
+    )
+
+
+def test_custom_rules_exceptions_and_edge_cases():
+    from crawler_ray.functions.backoff import (
+        NETWORK_ERROR, ErrorClassificationRule, classify_with_custom_rules,
+    )
+
+    # rule matching on the exception message (ref example :619-651)
+    msg_rule = ErrorClassificationRule(
+        "msg", lambda e, s: e is not None and "rate limit" in str(e).lower(),
+        RATE_LIMIT, "keyword match", is_retryable=True,
+    )
+    assert classify_with_custom_rules(
+        exc=Exception("API rate limit exceeded"), custom_rules=[msg_rule]
+    ) == (RATE_LIMIT, True)
+    # broken predicate is skipped, later rules still evaluated (:571-597)
+    broken = ErrorClassificationRule(
+        "broken", lambda e, s: 1 / 0, SERVER_ERROR, "raises")
+    assert classify_with_custom_rules(
+        exc=Exception("rate limit"), custom_rules=[broken, msg_rule]
+    ) == (RATE_LIMIT, True)
+    # both exc and status: rules see both; fallback prefers status (:519-543)
+    assert classify_with_custom_rules(
+        exc=ConnectionError(), http_status=500, custom_rules=[broken]
+    ) == (SERVER_ERROR, None)
+    assert classify_with_custom_rules(exc=ConnectionError()) == (
+        NETWORK_ERROR, None,
+    )
+    # nothing provided -> unknown (:613-617)
+    assert classify_with_custom_rules() == (UNKNOWN, None)
+    # no retryable override -> None, caller uses category default (:653-672)
+    no_override = ErrorClassificationRule(
+        "no-override", lambda e, s: s == 418, CLIENT_ERROR, "teapot")
+    assert classify_with_custom_rules(
+        http_status=418, custom_rules=[no_override]
+    ) == (CLIENT_ERROR, None)

@@ -144,3 +144,52 @@ def test_default_mode_keeps_driver_state_bounded(ray_session, golden):
     assert res.seen == set()
     assert res.seen_count == len(golden.seen)
     assert res.pages.count() == sum(m["pages_ok"] for m in res.metrics)
+
+
+def test_custom_classification_rules_conformance(ray_session):
+    """Custom ErrorClassificationRule list (reference retry_policy.py:364-516)
+    changes retry/DLQ behavior identically in the golden interpreter and the
+    Ray engine: 500s become permanent ("hard_down", no retries), 404s become
+    retryable ("maybe_up", retried then dead-lettered)."""
+    from crawler_ray.functions.backoff import ErrorClassificationRule
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    rules = [
+        ErrorClassificationRule(
+            "hard-down", lambda e, s: s == 500, "hard_down",
+            "500s are permanent here", is_retryable=False,
+        ),
+        ErrorClassificationRule(
+            "maybe-up", lambda e, s: s == 404, "maybe_up",
+            "404s might come back", is_retryable=True,
+        ),
+    ]
+    g = golden_crawl(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS,
+                     classification_rules=rules)
+    engine = CrawlEngine(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS,
+                         seen_shards=2, record_history=True,
+                         classification_rules=rules)
+    r = engine.run()
+
+    assert [(rd_, h) for rd_, h, _ in g.order] == [
+        (rd_, h) for rd_, h, _ in r.order
+    ]
+    assert g.seen == r.seen
+    gd = {(d["url_hash"], d["status"], d["round"], d["error_category"])
+          for d in g.dlq}
+    rd2 = {(d["url_hash"], d["status"], d["round"], d["error_category"])
+           for d in r.dlq_rows}
+    assert gd == rd2
+    # the rules actually fired: every 404 DLQ row carries the custom
+    # category and a retry_count > 0 (it was retried); 500s were never
+    # retried (retry_count == 0) and carry theirs
+    cats = {d["error_category"] for d in r.dlq_rows}
+    assert cats <= {"hard_down", "maybe_up"} and len(cats) == 2
+    assert all(d["retry_count"] > 0 for d in r.dlq_rows
+               if d["error_category"] == "maybe_up")
+    assert all(d["retry_count"] == 0 for d in r.dlq_rows
+               if d["error_category"] == "hard_down")
+    # and the rule-driven crawl genuinely diverges from the default one
+    g_default = golden_crawl(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS)
+    assert {d["error_category"] for d in g_default.dlq} == {"not_found"}
+    assert len(g.dlq) != len(g_default.dlq)

@@ -112,3 +112,82 @@ def test_conditions_and_variables(ray_session):
     assert ctx["metadata"]["never"]["skipped"] is True
     assert ctx["metadata"]["always"]["skipped"] is False
     assert "always" in ctx["steps"]
+
+
+def _two_step_workflow(extra_scrape_cfg=None):
+    return [
+        {
+            "name": "daftar",
+            "type": "crawl",
+            "config": {
+                "seed_url": SEED,
+                "pagination": {"enabled": True, "max_pages": 3},
+            },
+            "selectors": {"urls": {"selector": "a::attr(href)", "multiple": True}},
+        },
+        {
+            "name": "detail",
+            "type": "scrape",
+            "input_from": "daftar.urls",
+            "config": dict(extra_scrape_cfg or {}),
+            "selectors": {
+                "title": "title",
+                "paragraphs": {"selector": "article p", "multiple": True},
+            },
+        },
+    ]
+
+
+def test_scrape_dataset_mode_identical_items(ray_session):
+    """Opt-in ``{"output": "dataset"}`` scrape keeps items distributed: the
+    result carries an ``items_ds`` Dataset with byte-identical rows to list
+    mode, and the driver collects only O(blocks) counters + <= 5 error
+    samples (never the items)."""
+    import json
+
+    list_runner = WorkflowRunner(WEB)
+    ds_runner = WorkflowRunner(WEB)
+    out_list = list_runner.run(_two_step_workflow())["steps"]["detail"]
+    out_ds = ds_runner.run(
+        _two_step_workflow({"output": "dataset"})
+    )["steps"]["detail"]
+
+    assert out_ds["items"] is None
+    rows = out_ds["items_ds"].take_all()
+    ds_items = [json.loads(r["item"]) for r in rows if r["item"] is not None]
+    assert ds_items == out_list["items"]
+    assert out_ds["success_count"] == out_list["success_count"]
+    assert out_ds["error_count"] == out_list["error_count"]
+    assert out_ds["errors"] == out_list["errors"]
+    assert out_ds["error_categories"] == out_list["error_categories"]
+    # the list-mode runner pulled every item row; dataset mode pulled only
+    # per-block counters and bounded error samples
+    n_rows = out_list["success_count"] + out_list["error_count"]
+    assert list_runner._driver_items >= n_rows
+    assert ds_runner._driver_items < n_rows
+    assert ds_runner._driver_items <= 64 + 5  # blocks cap + error samples
+
+
+def test_scrape_error_categories_with_custom_rules(ray_session):
+    """WorkflowRunner accepts an ErrorClassificationRule list (reference
+    retry_policy.py:364-516); matched failures carry the rule's category in
+    error_categories, unmatched ones the standard classifier's."""
+    from crawler_ray.functions.backoff import ErrorClassificationRule
+
+    rules = [
+        ErrorClassificationRule(
+            "gone-forever", lambda e, s: s == 404, "gone_forever",
+            "this site's 404s never recover", is_retryable=False,
+        ),
+    ]
+    web = MiniWeb(n_docs=30, n_hosts=2, dead_link_every=2)
+    base = WorkflowRunner(web).run(_two_step_workflow())["steps"]["detail"]
+    ruled = WorkflowRunner(web, classification_rules=rules).run(
+        _two_step_workflow()
+    )["steps"]["detail"]
+    assert base["error_count"] == ruled["error_count"]
+    assert base["error_categories"].get("not_found", 0) > 0
+    assert "not_found" not in ruled["error_categories"]
+    assert ruled["error_categories"]["gone_forever"] == base[
+        "error_categories"
+    ]["not_found"]
