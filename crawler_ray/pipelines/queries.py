@@ -1363,19 +1363,151 @@ SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine FROM (
 """
 
 def q_knn_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate kNN (rows-only: approximate by design;
-    recall vs q_knn_bruteforce asserted in tests/test_ann_media.py)."""
+    """LSH-bucketed approximate kNN.  Approximate vs the TRUE neighbors,
+    but a deterministic function of the data (seeded planes, analytic bit
+    tuning) — so :func:`_sql_knn_ann_lsh` recomputes the whole algorithm
+    in SQL (plane literals + tuning + bucketing + exact rescoring) and the
+    driver value-checks it like any exact query.  Recall vs
+    q_knn_bruteforce additionally asserted in tests/test_ann_media.py."""
     from crawler_ray.stages.ann import ann_query
 
     return ann_query(sf_dir, n_queries=KNN_QUERIES, k=KNN_K)
 
 
 def q_knn_ann_ivf(sf_dir: str):
-    """IVF coarse-quantizer approximate kNN (rows-only; recall asserted in
-    tests/test_ann_media.py) — the FAISS-IVF-shaped scale path."""
+    """IVF coarse-quantizer approximate kNN — the FAISS-IVF-shaped scale
+    path.  Deterministic (seeded k-means init, fixed Lloyd iterations), so
+    :func:`_sql_knn_ann_ivf` replays training + probe + rescoring fully in
+    SQL; recall also asserted in tests/test_ann_media.py."""
     from crawler_ray.stages.ann import ivf_query
 
     return ivf_query(sf_dir, n_queries=KNN_QUERIES, k=KNN_K)
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_knn_ann_lsh() -> str:
+    """Full-SQL recomputation of the hyperplane-LSH ANN (stages/ann.py):
+    the seeded plane matrix is embedded as literals (drawn at
+    MAX_PLANE_BITS so the values are independent of the tuned width), the
+    analytic bit tuning (Charikar collision model over the sampled
+    similarity distribution, tune_lsh_bits) runs as SQL aggregates, bucket
+    signatures as sign-of-dot-product sums, and candidates are rescored
+    with exact cosine + the engine's (cosine DESC, neighbor_id) top-k
+    tie-break.  Bucket bits depend only on dot-product SIGNS, which are
+    scale-invariant, so the SQL hashes raw embeddings where the engine
+    hashes normalized rows — identical buckets."""
+    from crawler_ray.stages.ann import MAX_PLANE_BITS
+
+    n_tables, recall_floor, min_bits = 16, 0.9, 4  # ann_topk/tune defaults
+    planes = np.random.default_rng(7).standard_normal(
+        (n_tables, MAX_PLANE_BITS, EMB_DIM)
+    )
+    vals = ", ".join(
+        "({}, {}, [{}])".format(t, b, ", ".join(repr(v) for v in planes[t, b]))
+        for t in range(n_tables) for b in range(MAX_PLANE_BITS)
+    )
+    return f"""
+WITH planes(t, b, p) AS (VALUES {vals}),
+smp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 256),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+kth AS (
+  SELECT qid, c FROM (
+    SELECT q.qid, list_cosine_similarity(s.v, q.qv) AS c,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(s.v, q.qv) DESC) AS rn
+    FROM smp s, q) WHERE rn = {KNN_K}),
+psig AS (SELECT qid, 1.0 - acos(LEAST(GREATEST(c, -1.0), 1.0)) / pi() AS p FROM kth),
+recalls AS (
+  SELECT r.b AS b, AVG(1.0 - pow(1.0 - pow(psig.p, r.b), {n_tables})) AS rec
+  FROM psig, range({min_bits}, {MAX_PLANE_BITS + 1}) r(b) GROUP BY r.b),
+nb AS (SELECT LEAST({MAX_PLANE_BITS}, GREATEST({min_bits},
+         COALESCE((SELECT MIN(b) - 1 FROM recalls WHERE rec < {recall_floor}),
+                  {MAX_PLANE_BITS}))) AS nbits),
+dbuck AS (
+  SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                  THEN 1 << pl.b ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e, planes pl, nb WHERE pl.b < nb.nbits
+  GROUP BY e.vec_id, pl.t),
+qbuck AS (
+  SELECT q.qid, pl.t,
+         SUM(CASE WHEN list_dot_product(q.qv, pl.p) > 0
+                  THEN 1 << pl.b ELSE 0 END)::BIGINT AS bucket
+  FROM q, planes pl, nb WHERE pl.b < nb.nbits
+  GROUP BY q.qid, pl.t),
+cand AS (
+  SELECT DISTINCT d.vec_id AS nid, qb.qid
+  FROM dbuck d JOIN qbuck qb ON d.t = qb.t AND d.bucket = qb.bucket
+  WHERE d.vec_id <> qb.qid),
+scored AS (
+  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS craw
+  FROM cand c JOIN embeddings e ON e.vec_id = c.nid JOIN q ON q.qid = c.qid)
+SELECT query_id, neighbor_id, ROUND(craw, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY craw DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {KNN_K}
+"""
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_knn_ann_ivf() -> str:
+    """Full-SQL recomputation of the IVF ANN (stages/ann.py::ivf_topk):
+    seeded k-means init indices embedded as literals (rng.choice depends
+    only on the seed and the 256-row sample size — data-free), the 8 Lloyd
+    iterations UNROLLED as chained CTEs (assign by euclidean distance with
+    argmin's lowest-index tie-break, per-dimension AVG rebuild, empty
+    clusters keep their previous centroid), then probe/assign by cosine
+    and exact rescoring with the engine's top-k tie-break."""
+    n_lists, n_probe, iters = 16, 4, 8  # ivf_topk/_kmeans defaults
+    idx = np.random.default_rng(7).choice(256, size=n_lists, replace=False)
+    init_vals = ", ".join(f"({j}, {int(idx[j])})" for j in range(n_lists))
+    lloyd = []
+    for i in range(iters):
+        lloyd.append(f"""
+asg{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT s.vec_id, c.cl,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v, c.c), c.cl) AS rn
+    FROM smp s, cent{i} c) WHERE rn = 1),
+mean{i} AS (
+  SELECT a.cl, r.i AS i, AVG(s.v[r.i]) AS m
+  FROM asg{i} a JOIN smp s USING (vec_id), range(1, {EMB_DIM + 1}) r(i)
+  GROUP BY a.cl, r.i),
+cent{i + 1} AS (
+  SELECT c.cl, COALESCE(nm.c2, c.c) AS c FROM cent{i} c LEFT JOIN (
+    SELECT cl, list(m ORDER BY i) AS c2 FROM mean{i} GROUP BY cl) nm USING (cl))""")
+    return f"""
+WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 256),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+init(cl, vid) AS (VALUES {init_vals}),
+cent0 AS (SELECT i.cl, s.v AS c FROM init i JOIN smp s ON s.vec_id = i.vid),
+{",".join(lloyd)},
+probe AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qv, c.c) DESC, c.cl) AS rn
+    FROM q, cent{iters} c) WHERE rn <= {n_probe}),
+dassign AS (
+  SELECT vec_id, cl FROM (
+    SELECT e.vec_id, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.c) DESC, c.cl) AS rn
+    FROM embeddings e, cent{iters} c) WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT d.vec_id AS nid, p.qid
+  FROM dassign d JOIN probe p USING (cl) WHERE d.vec_id <> p.qid),
+scored AS (
+  SELECT c.qid AS query_id, c.nid AS neighbor_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS craw
+  FROM cand c JOIN embeddings e ON e.vec_id = c.nid JOIN q ON q.qid = c.qid)
+SELECT query_id, neighbor_id, ROUND(craw, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY craw DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {KNN_K}
+"""
 
 
 EMB_PAIR_LIMIT = 200
@@ -1986,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "workflow_api": _sql_workflow_api(),
         "media_decode": _sql_media_decode(),
         "event_user_hll": SQL_EVENT_USER_HLL,
-        # rows-only: knn_ann_lsh / knn_ann_ivf (approximate by design;
-        # recall vs the exact brute force asserted in tests/test_ann_*.py)
+        # approximate-vs-truth but deterministic: full-SQL algorithm
+        # recomputation (planes / k-means unrolled in the SQL itself)
+        "knn_ann_lsh": _sql_knn_ann_lsh(),
+        "knn_ann_ivf": _sql_knn_ann_ivf(),
     }

@@ -32,12 +32,31 @@ def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
     return c.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(len(t), -1)
 
 
+def _duck_round(x: np.ndarray, ndigits: int) -> np.ndarray:
+    """DuckDB ROUND semantics (half away from zero) so ANN outputs stay
+    bit-comparable with SQL oracles, mirroring queries.duck_round."""
+    s = 10.0 ** ndigits
+    arr = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(arr) * s + 0.5), arr) / s
+
+
+#: planes are always drawn at this width and sliced to ``n_bits`` so the
+#: plane values for bit b are identical for every n_bits <= MAX_PLANE_BITS
+#: (lets the SQL oracle embed one literal plane table while n_bits is
+#: tuned at runtime, and keeps tuning from changing the planes themselves)
+MAX_PLANE_BITS = 24
+
+
 class HyperplaneLSH:
     """T tables x b random hyperplanes; bucket = sign-bit pattern."""
 
     def __init__(self, dim: int, n_tables: int = 8, n_bits: int = 12, seed: int = 7):
+        if n_bits > MAX_PLANE_BITS:
+            raise ValueError(f"n_bits must be <= {MAX_PLANE_BITS}")
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.planes = np.ascontiguousarray(
+            rng.standard_normal((n_tables, MAX_PLANE_BITS, dim))[:, :n_bits, :]
+        )
         self.n_tables = n_tables
         self.n_bits = n_bits
 
@@ -181,7 +200,7 @@ def ann_topk(
             {
                 "query_id": pa.array(df["query_id"].tolist(), type=pa.int64()),
                 "neighbor_id": pa.array(df["neighbor_id"].tolist(), type=pa.int64()),
-                "cosine": pa.array(np.round(df["cosine_raw"].to_numpy(), 6)),
+                "cosine": pa.array(_duck_round(df["cosine_raw"].to_numpy(), 6)),
             }
         )
 
@@ -265,7 +284,7 @@ def ivf_topk(
             {
                 "query_id": pa.array(df["query_id"].tolist(), type=pa.int64()),
                 "neighbor_id": pa.array(df["neighbor_id"].tolist(), type=pa.int64()),
-                "cosine": pa.array(np.round(df["cosine_raw"].to_numpy(), 6)),
+                "cosine": pa.array(_duck_round(df["cosine_raw"].to_numpy(), 6)),
             }
         )
 
