@@ -76,6 +76,78 @@ class MinHasher:
             for i in range(n_bands)
         ]
 
+    def batch_signatures(
+        self, shingle_hashes: np.ndarray, counts: np.ndarray
+    ) -> np.ndarray:
+        """[n_docs, n_perms] signatures from the CONCATENATION of all docs'
+        shingle hashes — ``counts[i]`` hashes belong to doc i, empty docs
+        get the all-MAX signature.  One (a*x+b) mod p matrix per chunk and
+        ``np.minimum.reduceat`` over doc boundaries replace the per-doc
+        Python loop; chunks are sized so the dense [rows, n_perms] block
+        stays ~64 MB regardless of batch size."""
+        counts = np.asarray(counts, dtype=np.int64)
+        n_docs = len(counts)
+        out = np.full(
+            (n_docs, self.n_perms), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        nz = np.flatnonzero(counts)
+        max_rows = max(1, (8 << 20) // self.n_perms)
+        i = 0
+        while i < len(nz):
+            j, total = i, 0
+            while j < len(nz) and (total == 0 or total + counts[nz[j]] <= max_rows):
+                total += counts[nz[j]]
+                j += 1
+            docs = nz[i:j]
+            base = starts[docs[0]]
+            h = shingle_hashes[base : ends[docs[-1]]].astype(np.uint64, copy=False)
+            vals = h[:, None] * self.a[None, :] + self.b[None, :]
+            vals %= MERSENNE61
+            out[docs] = np.minimum.reduceat(vals, starts[docs] - base, axis=0)
+            i = j
+        return out
+
+    def band_key_matrix(
+        self, sigs: np.ndarray, rows_per_band: int = DEFAULT_ROWS_PER_BAND
+    ) -> np.ndarray:
+        """[n_docs, n_bands] int64 band keys: each band's ``rows_per_band``
+        signature words folded with a splitmix-style mix, the band index
+        xor-folded in so keys never collide ACROSS bands except at ~2^-64
+        (and any such collision only adds a candidate pair, which the exact
+        Jaccard verify then rejects).  Vectorized replacement for the
+        per-band md5 of :meth:`band_keys`."""
+        n_bands = self.n_perms // rows_per_band
+        b = sigs[:, : n_bands * rows_per_band].reshape(
+            len(sigs), n_bands, rows_per_band
+        )
+        mix = b[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            mix = (mix * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                b[:, :, j] + np.uint64(0xC2B2AE3D27D4EB4F)
+            )
+        band_ids = np.arange(n_bands, dtype=np.uint64) * np.uint64(
+            0xD6E8FEB86659FD93
+        )
+        return ((mix ^ band_ids[None, :]) * np.uint64(0xBF58476D1CE4E5B9)).view(
+            np.int64
+        )
+
+
+def hash_shingles_batch(flat_shingles: list[str]) -> np.ndarray:
+    """uint64 hash per shingle, vectorized (pandas siphash with its fixed
+    default key — process- and machine-stable).  The MinHash family only
+    needs a uniform stable hash, not md5 (signatures never require SQL
+    parity — candidates are verified with the exact Jaccard), so this
+    replaces the per-shingle md5 loop of :func:`hash_shingles` on the hot
+    banding path."""
+    import pandas as pd
+
+    if not flat_shingles:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(flat_shingles, dtype=object))
+
 
 def jaccard(a: set[str], b: set[str]) -> float:
     """Exact Jaccard of two shingle sets (0.0 when both empty)."""

@@ -1063,7 +1063,9 @@ def q_doc_minhash_pairs(sf_dir: str):
     attach joins of the candidate pairs against the (doc_id, shingles)
     dataset (a side, then b side), so only candidate docs' shingle sets
     ever co-locate."""
-    from crawler_ray.functions.text import MinHasher, hash_shingles, shingles_of, tokens_of
+    from crawler_ray.functions.text import (
+        MinHasher, hash_shingles_batch, shingles_of, tokens_of,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1071,18 +1073,27 @@ def q_doc_minhash_pairs(sf_dir: str):
 
     def bands(bt: pa.Table) -> pa.Table:
         mh = MinHasher()
-        doc_ids, keys = [], []
-        for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
-            sig = mh.signature(hash_shingles(shingles_of(tokens_of(t), SHINGLE_K)))
-            for k in mh.band_keys(sig):
-                doc_ids.append(int(d))
-                keys.append(k)
-        buckets = [int(k.split(":")[1][:8], 16) % N_BUCKETS for k in keys]
+        texts = bt["text"].to_pylist()
+        ids = np.asarray(bt["doc_id"].to_pylist(), dtype=np.int64)
+        flat: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            sh = shingles_of(tokens_of(t), SHINGLE_K)
+            flat.extend(sh)
+            counts[i] = len(sh)
+        sigs = mh.batch_signatures(hash_shingles_batch(flat), counts)
+        keys = mh.band_key_matrix(sigs)                 # [n_docs, n_bands]
+        n_bands = keys.shape[1]
+        flat_keys = keys.reshape(-1)
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.string()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "bucket": pa.array(buckets, type=pa.int64()),
+                "band_key": pa.array(flat_keys),
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+                "bucket": pa.array(
+                    (flat_keys.view(np.uint64) % np.uint64(N_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
