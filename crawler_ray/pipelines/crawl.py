@@ -274,6 +274,15 @@ class CrawlEngine:
         classification_rules=None,          # [ErrorClassificationRule] (ref
                                             # retry_policy.py:364-516): first
                                             # match overrides retry/DLQ category
+        global_rate_limit: tuple[int, float] | None = None,
+                                            # (max_requests, period_sec) per
+                                            # host, enforced ACROSS the whole
+                                            # fetch pool via sharded window
+                                            # actors (state/ratelimit.py; ref
+                                            # redis_cache.py:360-463) — the
+                                            # aggregate cap local token
+                                            # buckets can't give a salted
+                                            # mega-host
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -320,14 +329,21 @@ class CrawlEngine:
         #   so "<= threshold" reproduces top-B bit-for-bit.
         if selection not in ("driver", "distributed"):
             raise ValueError(f"unknown selection mode: {selection!r}")
-        if selection == "distributed" and requests_per_second is not None:
-            # wall-clock politeness needs one block per host through a
-            # single token bucket; that slicing is inherently driver-side
+        if (selection == "distributed" and requests_per_second is not None
+                and global_rate_limit is None):
+            # LOCAL wall-clock politeness needs one block per host through
+            # a single token bucket, and that slicing is inherently
+            # driver-side.  A global_rate_limit lifts the constraint: the
+            # sharded window actors cap the host's aggregate rate no matter
+            # how many actors its rows land on.
             raise ValueError(
-                "selection='distributed' does not support requests_per_second; "
-                "use budget-discretized politeness (the scale mode)"
+                "selection='distributed' needs global_rate_limit to combine "
+                "with requests_per_second (per-host wall-clock politeness "
+                "without driver-side host slicing)"
             )
         self.selection = selection
+        self.global_rate_limit = global_rate_limit
+        self._global_limiter = None  # built lazily in run() (needs Ray up)
         # Diagnostic: rows of per-URL data materialized onto the driver.
         # Scale invariant (asserted by tests/test_crawl_scale_driver.py):
         # bounded by budget x hosts x rounds + O(shards + hosts), NEVER by
@@ -425,6 +441,14 @@ class CrawlEngine:
         robots = self.robots
         seen_handle = self.seen
         budget = self.budget
+
+        if self.global_rate_limit is not None and self._global_limiter is None:
+            from crawler_ray.state.ratelimit import GlobalRateLimiter
+
+            max_req, period = self.global_rate_limit
+            self._global_limiter = GlobalRateLimiter(
+                max_req, period, n_shards=max(1, min(4, self._ncpus // 8))
+            )
 
         if self.seen.ttl is not None:
             # sweep lapsed dedup windows BEFORE seeding: a recrawl whose
@@ -583,11 +607,16 @@ class CrawlEngine:
                 # into the fetch stage — block structure inherited from the
                 # frontier (size frontier_blocks to the cluster)
                 slices = None
-            elif self.requests_per_second is not None:
-                # wall-clock politeness mode: one block PER HOST so a host's
-                # requests are serialized through a single actor's token
-                # bucket — row-sliced blocks would scatter one host across
-                # the pool and multiply its effective rate by the pool size
+            elif (self.requests_per_second is not None
+                  and self._global_limiter is None):
+                # LOCAL wall-clock politeness mode: one block PER HOST so a
+                # host's requests are serialized through a single actor's
+                # token bucket — row-sliced blocks would scatter one host
+                # across the pool and multiply its effective rate by the
+                # pool size.  (With a global_rate_limit the sharded window
+                # actors own the aggregate cap, so the generic row slicing
+                # below may split a host across actors — the mega-host
+                # parallel-fetch mode.)
                 sel_sorted = selected_tbl.sort_by("host")
                 hosts_col = sel_sorted["host"].to_pylist()
                 slices = []
@@ -625,21 +654,28 @@ class CrawlEngine:
                         "web": self.web,
                         "net_latency_sec": self.net_latency_sec,
                         "requests_per_second": self.requests_per_second,
+                        "global_limiter": self._global_limiter,
                     },
                     batch_format="pyarrow",
                     batch_size=None,
                     concurrency=self.fetch_concurrency,
                     num_cpus=1,
                 )
-            elif self.requests_per_second is not None:
+            elif (self.requests_per_second is not None
+                  or self._global_limiter is not None):
                 # politeness pacing needs per-host wall-clock state -> actor pool
                 # batch_size=None: one task per pre-sliced block (a numeric
                 # batch_size makes Ray BUNDLE small blocks into one task,
                 # serializing the simulated network latency)
                 fetched = fetch_stage.map_batches(
                     SyntheticFetcher,
-                    fn_constructor_args=(self.web, self.requests_per_second, 10,
-                                         self.net_latency_sec),
+                    fn_constructor_kwargs={
+                        "web": self.web,
+                        "requests_per_second": self.requests_per_second,
+                        "burst": 10,
+                        "net_latency_sec": self.net_latency_sec,
+                        "global_limiter": self._global_limiter,
+                    },
                     batch_format="pyarrow",
                     batch_size=None,
                     concurrency=self.fetch_concurrency,

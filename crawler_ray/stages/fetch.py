@@ -54,11 +54,17 @@ class SyntheticFetcher:
     """
 
     def __init__(self, web, requests_per_second: float | None = None,
-                 burst: int = 10, net_latency_sec: float = 0.0) -> None:
+                 burst: int = 10, net_latency_sec: float = 0.0,
+                 global_limiter=None) -> None:
         self.web = web
         self.rps = requests_per_second
         self.burst = burst
         self.net_latency_sec = net_latency_sec  # simulated RTT per request
+        # optional state.ratelimit.GlobalRateLimiter: the AGGREGATE per-host
+        # cap across the whole pool (reference redis_cache.py:360-463) —
+        # local token buckets alone multiply by pool size when a salted
+        # mega-host spans actors
+        self.global_limiter = global_limiter
         self._buckets: dict[str, TokenBucket] = {}
 
     def _pace(self, host: str) -> None:
@@ -74,13 +80,34 @@ class SyntheticFetcher:
         retries = batch["retry_count"].to_pylist()
         hosts = batch["host"].to_pylist()
         statuses, htmls = [], []
-        for url, rc, host in zip(urls, retries, hosts):
-            self._pace(host)
-            if self.net_latency_sec:
-                time.sleep(self.net_latency_sec)
-            status, html = self.web.fetch(url, retry_count=rc or 0)
-            statuses.append(status)
-            htmls.append(html)
+        i, n = 0, len(hosts)
+        while i < n:
+            host = hosts[i]
+            j = i + 1
+            while j < n and hosts[j] == host:  # consecutive same-host run
+                j += 1
+            k = i
+            while k < j:
+                # chunk-grant from the global window (one RPC per window
+                # spanned, not per row), then fetch EXACTLY the granted
+                # rows before asking again — requests stay inside the
+                # window their permits came from
+                granted = (
+                    self.global_limiter.acquire_some(host, j - k)
+                    if self.global_limiter is not None
+                    else j - k
+                )
+                for idx in range(k, k + granted):
+                    self._pace(host)
+                    if self.net_latency_sec:
+                        time.sleep(self.net_latency_sec)
+                    status, html = self.web.fetch(
+                        urls[idx], retry_count=retries[idx] or 0
+                    )
+                    statuses.append(status)
+                    htmls.append(html)
+                k += granted
+            i = j
         return batch.append_column(
             "status", pa.array(statuses, type=pa.int32())
         ).append_column("html", pa.array(htmls, type=pa.string()))

@@ -276,10 +276,13 @@ class PooledFetcher:
                  acquire_timeout: float = 10.0, crash_retries: int = 2,
                  factory=None, net_latency_sec: float = 0.0,
                  requests_per_second: float | None = None,
-                 burst: int = 10) -> None:
+                 burst: int = 10, global_limiter=None) -> None:
         from crawler_ray.stages.fetch import TokenBucket
 
         self.crash_retries = crash_retries
+        # optional state.ratelimit.GlobalRateLimiter — pool-wide aggregate
+        # per-host window cap (browser fetches are requests too)
+        self.global_limiter = global_limiter
         if factory is None:
             factory = lambda: SyntheticInstance(web, latency_sec=net_latency_sec)
         self.pool = FetcherPool(
@@ -306,7 +309,10 @@ class PooledFetcher:
         for _ in range(self.crash_retries + 1):
             # pace EVERY backend attempt: a crash retry is still a request
             # against the host, so it must consume a politeness token too
+            # (and a global window permit, when the aggregate cap is on)
             self._pace(host)
+            if self.global_limiter is not None:
+                self.global_limiter.acquire_some(host, 1)
             try:
                 with self.pool.acquire() as inst:
                     inst.total_fetches += 1
