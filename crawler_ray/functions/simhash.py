@@ -30,6 +30,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 
 HASH_BITS = 64
 _TOKEN_CLEAN = re.compile(r"[^\w\s]")
@@ -105,7 +106,11 @@ def simhash_batch(
         return fps, valid
 
     tok_arr = np.asarray(all_tokens, dtype=object)
-    uniq, inv = np.unique(tok_arr, return_inverse=True)
+    # hash-based distinct (pandas factorize) — same (codes, uniques)
+    # contract as sort-based np.unique but O(n) instead of an O(n log n)
+    # string argsort, which dominated parse wall at 2500-token pages
+    inv, uniq = pd.factorize(tok_arr, sort=False)
+    uniq = np.asarray(uniq, dtype=object)
     uniq_hashes = cache.lookup(uniq)                      # uint64[u]
     # bit matrix for unique tokens: 0/1 as float32 so per-doc bit counts
     # come from ONE BLAS matmul (exact: counts < 2^24 fit float32).
