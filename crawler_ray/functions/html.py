@@ -130,8 +130,15 @@ class _SpanCollector(HTMLParser):
 
     def _flush_text(self) -> None:
         if self._text_parts:
-            text = _WS.sub(" ", "".join(self._text_parts)).strip()
+            text = "".join(self._text_parts)
             self._text_parts = []
+            # collapse whitespace runs; skip the regex when no run exists
+            # (single spaces only) — equivalence: _WS.sub(" ", s) == s iff
+            # s has no \n/\t/\r/\f/\v and no doubled space
+            if ("\n" in text or "\t" in text or "\r" in text
+                    or "  " in text or "\f" in text or "\x0b" in text):
+                text = _WS.sub(" ", text)
+            text = text.strip()
             if text:
                 self._emit("text", text=text)
 
@@ -157,12 +164,12 @@ class _SpanCollector(HTMLParser):
             self._in_title += 1
         elif tag == "a":
             self._flush_text()
-            href = dict(attrs).get("href")
+            href = ad.get("href")
             if href:
                 self._emit("link", text=href)
         elif tag in ("img", "video", "audio", "source"):
             self._flush_text()
-            src = dict(attrs).get("src")
+            src = ad.get("src")
             if src:
                 self._emit("media", media_ref=src)
         elif tag in ("p", "div", "br", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr"):
