@@ -6,6 +6,15 @@ canonical mergeable-sketch pattern for distinct counting at 100 TB scale
 (e.g. distinct URLs per host, distinct content hashes) where an exact
 ``groupby().count()`` would shuffle every row.
 
+RankSketch: a KLL-style compactor hierarchy (Karnin-Lang-Liberty 2016 /
+Manku-Rajagopalan-Lindsay 1998 deterministic compaction) for quantiles
+over UNBOUNDED value domains, where the exact counting-histogram path
+(pipelines/queries.q_lineitem_quantiles) doesn't apply.  Level i items
+each stand for 2^i inputs; compaction sorts a full buffer and promotes
+alternating survivors one level up.  add/compact/merge/query are all
+numpy-vectorized; merging is associative, so any map_batches partial /
+tree-reduce order yields a valid sketch.
+
 Registers are numpy uint8; add/merge are vectorized; hashing is the same
 MD5-low-64 used across the engine (deterministic everywhere).
 """
@@ -84,4 +93,118 @@ class HyperLogLog:
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
         sk = cls(data[0])
         sk.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return sk
+
+class RankSketch:
+    """Mergeable quantile sketch (KLL-style deterministic compactors).
+
+    ``k`` is the per-level buffer capacity; observed rank error on 1e5-1e7
+    element streams is well under 1/k x const (tests/test_sketch.py asserts
+    <= 2% at k=256 across uniform / zipf / sorted / reversed inputs).
+    Deterministic: compaction keeps even-index survivors (MRL-style), so a
+    given (partition, merge) order reproduces bit-identical sketches; the
+    rank-error bound holds for ANY order.
+    """
+
+    def __init__(self, k: int = 256) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+
+    # ------------------------------------------------------------------ build
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            buf = self.levels[i]
+            if len(buf) <= self.cap(i):
+                i += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            promoted = buf[::2]  # even-index survivors, weight doubles
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.empty(0, dtype=np.float64)
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def cap(self, level: int) -> int:
+        # geometrically decaying capacities for the lower levels (KLL's
+        # memory trick): the top levels keep the full k
+        depth = len(self.levels) - 1 - level
+        return max(8, int(self.k * (2.0 / 3.0) ** depth))
+
+    # ------------------------------------------------------------------ merge
+    def merge(self, other: "RankSketch") -> "RankSketch":
+        if other.k != self.k:
+            raise ValueError("cannot merge sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # ------------------------------------------------------------------ query
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([b for b in self.levels])
+        wts = np.concatenate(
+            [np.full(len(b), 1 << i, dtype=np.int64)
+             for i, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Approximate PERCENTILE_DISC: the stored value whose weighted rank
+        covers q*(n-1)."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        vals, wts = self._weighted()
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = np.empty(len(qs), dtype=np.float64)
+        for j, q in enumerate(qs):
+            target = q * (total - 1)
+            out[j] = vals[np.searchsorted(cum, target, side="right")]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<iiq", self.k, len(self.levels), self.n)
+        parts = [head]
+        for b in self.levels:
+            parts.append(struct.pack("<i", len(b)))
+            parts.append(b.tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "RankSketch":
+        import struct
+
+        k, nlev, n = struct.unpack_from("<iiq", data, 0)
+        off = 16
+        sk = cls(k)
+        sk.levels = []
+        sk.n = n
+        for _ in range(nlev):
+            (ln,) = struct.unpack_from("<i", data, off)
+            off += 4
+            sk.levels.append(
+                np.frombuffer(data, dtype=np.float64, count=ln, offset=off).copy()
+            )
+            off += 8 * ln
         return sk

@@ -2052,6 +2052,183 @@ def _sql_media_decode() -> str:
     )
 
 
+# ===================================================== quantiles / sampling
+
+
+_QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _interp_quantiles(values: np.ndarray, counts: np.ndarray, qs) -> np.ndarray:
+    """PERCENTILE_CONT over a (sorted value, count) histogram — DuckDB's
+    ``quantile_cont`` arithmetic exactly: h = q*(n-1); (1-frac)*lo + frac*hi
+    (verified term-order-sensitive: ``lo + frac*(hi-lo)`` differs by 1 ulp
+    on real data and would flip the driver's exact-value compare)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = np.empty(len(qs), dtype=np.float64)
+    for i, q in enumerate(qs):
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        frac = h - lo
+        lo_v = values[np.searchsorted(cum, lo, side="right")]
+        hi_v = values[np.searchsorted(cum, min(lo + 1, n - 1), side="right")]
+        out[i] = (1 - frac) * lo_v + frac * hi_v
+    return out
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    """EXACT distributed percentiles per group via a bounded-domain counting
+    histogram: ``l_quantity`` takes <= 50 distinct integral values, so each
+    batch reduces to (flag, value) counts, the shuffle moves O(groups x
+    domain) rows regardless of data size, and the final interpolation runs
+    over the tiny histogram.  This is the scale path for quantiles over any
+    discretizable domain (money in cents, lengths, scores); unbounded
+    domains use the mergeable rank sketch (q ``price_quantiles_sketch``).
+    Reference A3 family (global stats rollups, e.g.
+    /root/reference/sql/queries/content_hash.sql:34-40) extended with the
+    order statistic the reference computes driver-side."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "l_quantity"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # bounded: groups x |domain| (<= 3 x 50 rows), never O(N)
+    )
+    hdf = pd.DataFrame(hist).sort_values(["l_returnflag", "l_quantity"])
+    out_flag, out_q, out_val = [], [], []
+    for flag, g in hdf.groupby("l_returnflag", sort=True):
+        vals = _interp_quantiles(
+            g["l_quantity"].to_numpy(np.float64),
+            g["cnt"].to_numpy(np.int64),
+            _QUANTILE_QS,
+        )
+        out_flag.extend([flag] * len(_QUANTILE_QS))
+        out_q.extend(_QUANTILE_QS)
+        out_val.extend(vals)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_flag, type=pa.string()),
+            "q": pa.array(out_q, type=pa.float64()),
+            "val": pa.array(out_val, type=pa.float64()),
+        }
+    )
+
+
+SQL_LINEITEM_QUANTILES = f"""
+SELECT l_returnflag,
+       unnest([{', '.join(str(q) for q in _QUANTILE_QS)}]) AS q,
+       unnest(quantile_cont(l_quantity,
+              [{', '.join(str(q) for q in _QUANTILE_QS)}])) AS val
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_price_quantiles_sketch(sf_dir: str):
+    """Approximate percentiles over an UNBOUNDED domain (l_extendedprice is
+    near-unique, so the exact counting-histogram path would shuffle O(N)
+    rows) via mergeable KLL-style rank sketches: one ~2 KB sketch per batch,
+    merged in a tiny final stage — rows-only (approximate by design);
+    accuracy asserted in tests/test_sketch.py (rank error <= 2%)."""
+    from crawler_ray.functions.sketch import RankSketch
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        sk = RankSketch(k=256)
+        sk.add(df["l_extendedprice"].to_numpy(np.float64))
+        return pa.table(
+            {"g": pa.array([0], type=pa.int32()),
+             "sketch": pa.array([sk.to_bytes()], type=pa.binary())}
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        sk = RankSketch.from_bytes(df["sketch"].iloc[0])
+        for blob in df["sketch"].iloc[1:]:
+            sk.merge(RankSketch.from_bytes(blob))
+        vals = sk.quantiles(_QUANTILE_QS)
+        return pa.table(
+            {"q": pa.array(_QUANTILE_QS, type=pa.float64()),
+             "val": pa.array(vals, type=pa.float64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("g")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# Stratified sampling tiers: per-source percentage kept (unknown sources
+# fall through to the tail rate).  The hash is md5 of the ascii doc id so
+# the SQL oracle reproduces the EXACT sample membership.
+_SAMPLE_TIERS = (
+    (("src0", "src1", "src2", "src3", "src4"), 40),
+    (("src5", "src6", "src7", "src8", "src9"), 20),
+)
+_SAMPLE_TAIL_RATE = 5
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified hash sampling (training-data curation: keep
+    40%/20%/5% per source tier, reproducibly).  Membership is a pure
+    per-row predicate — md5(doc_id) prefix under a per-stratum threshold —
+    so the operator is an embarrassingly parallel filter: no shuffle, no
+    RNG state, identical output at any parallelism, resumable for free.
+    (md5 rather than a seeded numpy hash so DuckDB recomputes the same
+    sample; at 100 TB one would swap in a vectorized siphash on int64 ids,
+    the membership rule is the design point.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    tiers = [(frozenset(srcs), r) for srcs, r in _SAMPLE_TIERS]
+    tail = _SAMPLE_TAIL_RATE
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                for s in df["doc_id"].astype(str)
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        src = df["source"]
+        rate = np.full(len(df), tail, dtype=np.uint64)
+        for srcs, r in tiers:
+            rate[src.isin(srcs).to_numpy()] = r
+        keep = hv * 100 < rate * (1 << 32)
+        return df.loc[keep, ["doc_id", "source"]]
+
+    return ds.map_batches(sample, batch_format="pandas")
+
+
+def _sql_doc_sample() -> str:
+    cases = " ".join(
+        "WHEN source IN ({}) THEN {}".format(
+            ", ".join(f"'{s}'" for s in srcs), r
+        )
+        for srcs, r in _SAMPLE_TIERS
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           AS hv,
+         CASE {cases} ELSE {_SAMPLE_TAIL_RATE} END AS rate
+  FROM documents)
+SELECT doc_id, source FROM s WHERE hv * 100 < rate * 4294967296
+"""
+
+
 # ============================================================ registry
 QUERIES = {
     "pricing_summary": q_pricing_summary,
@@ -2090,6 +2267,9 @@ QUERIES = {
     "workflow_api": q_workflow_api,
     "media_decode": q_media_decode,
     "event_user_hll": q_event_user_hll,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "doc_sample": q_doc_sample,
+    "price_quantiles_sketch": q_price_quantiles_sketch,
 }
 
 
@@ -2129,6 +2309,8 @@ def oracle_sql() -> dict[str, str]:
         "workflow_api": _sql_workflow_api(),
         "media_decode": _sql_media_decode(),
         "event_user_hll": SQL_EVENT_USER_HLL,
+        "lineitem_quantiles": SQL_LINEITEM_QUANTILES,
+        "doc_sample": _sql_doc_sample(),
         # approximate-vs-truth but deterministic: full-SQL algorithm
         # recomputation (planes / k-means unrolled in the SQL itself)
         "knn_ann_lsh": _sql_knn_ann_lsh(),

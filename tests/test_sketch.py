@@ -59,3 +59,79 @@ def test_distributed_hll_query(ray_session, sf_dir):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) / max(1, n) < 0.1, (k, n, approx[k])
+
+
+# ------------------------------------------------------------- RankSketch
+def _interval_rank_err(xs_sorted: np.ndarray, v: float, q: float) -> float:
+    """Distance from q to the rank INTERVAL of v (ties span an interval —
+    a returned duplicate value is correct for every rank it covers)."""
+    n = len(xs_sorted)
+    lo = np.searchsorted(xs_sorted, v, "left") / n
+    hi = np.searchsorted(xs_sorted, v, "right") / n
+    return 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["uniform", "zipf", "sorted", "reversed", "lognormal"],
+)
+def test_rank_sketch_accuracy(name):
+    from crawler_ray.functions.sketch import RankSketch
+
+    rng = np.random.default_rng(7)
+    data = {
+        "uniform": rng.uniform(0, 1, 200_000),
+        "zipf": rng.zipf(1.5, 200_000).astype(float),
+        "sorted": np.arange(200_000, dtype=float),
+        "reversed": np.arange(200_000, dtype=float)[::-1],
+        "lognormal": rng.lognormal(0, 2, 200_000),
+    }[name]
+    # simulate map_batches partials + arbitrary merge order
+    sks = []
+    for p in np.array_split(data, 37):
+        s = RankSketch(k=256)
+        s.add(p)
+        sks.append(s)
+    sk = sks[0]
+    for s in sks[1:]:
+        sk.merge(RankSketch.from_bytes(s.to_bytes()))  # serialized merge path
+    xs = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        v = sk.quantiles([q])[0]
+        assert _interval_rank_err(xs, v, q) <= 0.02, (name, q, v)
+    # memory stays O(k log n), not O(n)
+    assert sum(len(b) for b in sk.levels) < 4 * 256
+
+
+def test_rank_sketch_merge_associative_and_empty():
+    from crawler_ray.functions.sketch import RankSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(0, 1, 30_000)
+    a, b, c = RankSketch(), RankSketch(), RankSketch()
+    a.add(data[:10_000]); b.add(data[10_000:20_000]); c.add(data[20_000:])
+    left = RankSketch.from_bytes(a.to_bytes()).merge(b).merge(c)
+    xs = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        assert _interval_rank_err(xs, left.quantiles([q])[0], q) <= 0.02
+    with pytest.raises(ValueError):
+        RankSketch().quantiles([0.5])
+    with pytest.raises(ValueError):
+        RankSketch(k=16).merge(RankSketch(k=32))
+
+
+def test_price_quantiles_sketch_query(ray_session, sf_dir):
+    import duckdb
+
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["price_quantiles_sketch"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    xs = np.sort(
+        con.sql(
+            f"SELECT l_extendedprice FROM read_parquet('{sf_dir}/lineitem.parquet')"
+        ).df()["l_extendedprice"].to_numpy()
+    )
+    assert len(out) == 5
+    for q, v in zip(out["q"], out["val"]):
+        assert _interval_rank_err(xs, v, q) <= 0.02, (q, v)
