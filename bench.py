@@ -28,6 +28,17 @@ os.environ.setdefault("PYTHONPATH", REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# In-flight requests per fetch worker: a wave of C requests overlaps its
+# network latency inside the fetch task — the Ray analogue of the
+# reference's 30 async HTTP clients on one asyncio loop (PRD.md
+# MAX_HTTP_WORKERS=30).  Politeness stays budget/window-enforced.
+# The HEADLINE stays at 1 connection: the metric (and its round-over-round
+# comparability, and the two-parallelism scaling criterion) is defined on
+# the network-bound regime where wall = politeness-budgeted RTTs / fetch
+# capacity.  With conns > 1 this tiny 9-round bench becomes bound by the
+# ~1-2 s/round orchestration floor instead (a floor that amortizes away on
+# real multi-minute rounds) — measured separately in BASELINE.md.
+FETCH_CONNS = int(os.environ.get("GRAFT_FETCH_CONNS", "1"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -101,6 +112,7 @@ def run_bench() -> dict:
         seen_backend="cuckoo",
         fetch_batch_size=32,
         net_latency_sec=0.2,
+        fetch_connections=FETCH_CONNS,
     )
     t0 = time.monotonic()
     result = engine.run()

@@ -283,6 +283,18 @@ class CrawlEngine:
                                             # aggregate cap local token
                                             # buckets can't give a salted
                                             # mega-host
+        fetch_connections: int = 1,         # in-flight requests per fetch
+                                            # worker: a wave of C requests
+                                            # overlaps its network latency
+                                            # (one RTT per wave, not per
+                                            # request) — the Ray analogue of
+                                            # the reference's 30 async HTTP
+                                            # clients on one asyncio loop
+                                            # (PRD MAX_HTTP_WORKERS=30).
+                                            # Applies to budget-politeness
+                                            # mode only; wall-clock rps
+                                            # pacing keeps strictly
+                                            # sequential per-host requests.
     ) -> None:
         self.web = web
         self.budget = budget_per_host
@@ -307,6 +319,9 @@ class CrawlEngine:
         # without duplicate pages).
         self.cancel_check = cancel_check
         self.cancelled = False
+        if fetch_connections < 1:
+            raise ValueError("fetch_connections must be >= 1")
+        self.fetch_connections = int(fetch_connections)
         self.classification_rules = list(classification_rules or [])
         # Conformance mode: accumulate full crawl order + seen log on the
         # driver for golden-equality checks.  Default (False) keeps driver
@@ -630,7 +645,8 @@ class CrawlEngine:
                 # budget-discretized politeness: pre-slice for parallelism
                 # (from_arrow of a list = one block per slice; repartition
                 # would be an all-to-all with ~1-2 s fixed cost per round).
-                # ~2 blocks per CPU with >= 4 rows per block.
+                # ~2 blocks per CPU with >= 4 rows per block (a block's
+                # latency is already collapsed by fetch_connections waves).
                 n_fetch_blocks = max(
                     1, min(2 * self._ncpus, -(-len(sel_rows) // 4))
                 )
@@ -675,6 +691,7 @@ class CrawlEngine:
                         "burst": 10,
                         "net_latency_sec": self.net_latency_sec,
                         "global_limiter": self._global_limiter,
+                        "connections": self.fetch_connections,
                     },
                     batch_format="pyarrow",
                     batch_size=None,
@@ -683,44 +700,35 @@ class CrawlEngine:
                 )
             else:
                 # round budgets already enforce politeness: stateless tasks
-                # avoid per-round actor-pool startup
+                # avoid per-round actor-pool startup; fetch_connections
+                # overlaps network latency within each task (async-I/O
+                # analogue — one RTT per wave of C in-flight requests)
                 web, lat = self.web, self.net_latency_sec
+                conns = self.fetch_connections
                 fetched = fetch_stage.map_batches(
-                    lambda t, web=web, lat=lat: SyntheticFetcher(web, net_latency_sec=lat)(t),
+                    lambda t, web=web, lat=lat, conns=conns: SyntheticFetcher(
+                        web, net_latency_sec=lat, connections=conns
+                    )(t),
                     batch_format="pyarrow",
                     batch_size=None,
                 )
             if self._cancel_requested():
                 break  # before fetch: nothing of round r is committed
-            parsed = fetched.map_batches(
-                parse_fetched_batch, batch_format="pyarrow"
-            ).materialize()
-            tt = self._t('fetch_parse', tt)
-            if self._cancel_requested():
-                break  # after fetch/parse: round r discarded, replay on resume
 
-            def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
-                ok = t.filter(pc.equal(t["status"], 200))
-                ok = ok.drop_columns(["links", "not_before_round"])
-                return ok.append_column("round", pa.array([rr] * len(ok), type=pa.int32()))
-
-            pages_round = parsed.map_batches(_ok_pages, batch_format="pyarrow")
-            if self.checkpoint_dir:
-                # pin once: the emptiness check and the parquet write below
-                # would otherwise each re-execute the _ok_pages stage
-                pages_round = pages_round.materialize()
-
-            # --- failures + discoveries in ONE pass over parsed ----------
+            # --- parse + link-offer in ONE execution over fetched ---------
             # Round-local first-wins dedup + seen anti-join are FUSED in the
-            # seen shards (offer/resolve, state/seen.py): each task offers
-            # its block's candidates with the deterministic sortkey
+            # seen shards (offer/resolve, state/seen.py): each parse task
+            # offers its block's candidates with the deterministic sortkey
             # (parent_hash, dom_idx); shards keep the min per unseen hash.
-            # The same pass returns the non-200 rows, so the round costs one
-            # Dataset execution over parsed instead of two (each execution
-            # carries ~0.2-0.5 s of fixed scheduling cost — the dominant
-            # per-round overhead once fetch/parse are optimized).
-            def _offer_and_collect_failed(t: pa.Table) -> pa.Table:
-                links = explode_links(t)
+            # Offering inside the parse execution (rather than a second pass
+            # over parsed) saves one Dataset execution per round — each
+            # execution carries ~0.2-0.5 s of fixed scheduling cost, the
+            # dominant per-round overhead once fetch/parse are optimized.
+            # Offers are deterministic and idempotent (same hash -> same
+            # min sortkey), so a task retry re-offering a block is safe.
+            def _parse_and_offer(t: pa.Table) -> pa.Table:
+                out = parse_fetched_batch(t)
+                links = explode_links(out)
                 if len(links):
                     links = links.filter(
                         pa.array(robots.allowed_batch(links["url"].to_pylist()),
@@ -748,21 +756,44 @@ class CrawlEngine:
                             }
                         )
                     )
+                return out
+
+            parsed = fetched.map_batches(
+                _parse_and_offer, batch_format="pyarrow"
+            ).materialize()
+            tt = self._t('fetch_parse', tt)
+            if self._cancel_requested():
+                # after fetch/parse: seen-shard actors hold uncommitted
+                # offers; the round is dropped, and a resume rebuilds the
+                # seen set from COMMITTED deltas only (fresh actors)
+                break
+
+            def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
+                ok = t.filter(pc.equal(t["status"], 200))
+                ok = ok.drop_columns(["links", "not_before_round"])
+                return ok.append_column("round", pa.array([rr] * len(ok), type=pa.int32()))
+
+            pages_round = parsed.map_batches(_ok_pages, batch_format="pyarrow")
+            if self.checkpoint_dir:
+                # pin once: the emptiness check and the parquet write below
+                # would otherwise each re-execute the _ok_pages stage
+                pages_round = pages_round.materialize()
+
+            # --- failures: a cheap filter over the materialized parsed ----
+            # (link offers already happened inside the parse execution)
+            def _collect_failed(t: pa.Table) -> pa.Table:
                 return t.filter(pc.not_equal(t["status"], 200)).select(
                     ["url", "url_hash", "host", "status", "retry_count", "lineage"]
                 )
 
             if self.selection == "driver":
                 failed_rows = parsed.map_batches(
-                    _offer_and_collect_failed, batch_format="pyarrow"
+                    _collect_failed, batch_format="pyarrow"
                 ).take_all()
                 self._driver_rows += len(failed_rows)
                 n_failed = len(failed_rows)
-                tt = self._t('offer+failed', tt)
+                tt = self._t('failed', tt)
                 if self._cancel_requested():
-                    # after link-offer: seen-shard actors hold uncommitted
-                    # additions; the round is dropped, and a resume rebuilds
-                    # the seen set from COMMITTED deltas only (fresh actors)
                     break
                 retry_rows = []
                 round_dlq = []
@@ -804,11 +835,11 @@ class CrawlEngine:
                 # classification are vectorized Arrow passes over the (small,
                 # materialized) failed set
                 failed_ds = parsed.map_batches(
-                    _offer_and_collect_failed, batch_format="pyarrow"
+                    _collect_failed, batch_format="pyarrow"
                 ).materialize()
                 n_failed = failed_ds.count()
                 n_selected = parsed.count()
-                tt = self._t('offer+failed', tt)
+                tt = self._t('failed', tt)
                 if self._cancel_requested():
                     break
                 mx = self.max_retries

@@ -55,7 +55,7 @@ class SyntheticFetcher:
 
     def __init__(self, web, requests_per_second: float | None = None,
                  burst: int = 10, net_latency_sec: float = 0.0,
-                 global_limiter=None) -> None:
+                 global_limiter=None, connections: int = 1) -> None:
         self.web = web
         self.rps = requests_per_second
         self.burst = burst
@@ -66,6 +66,12 @@ class SyntheticFetcher:
         # mega-host spans actors
         self.global_limiter = global_limiter
         self._buckets: dict[str, TokenBucket] = {}
+        # in-flight requests per worker: a wave of C requests shares one
+        # RTT (the async-HTTP-client analogue — the reference runs 30
+        # concurrent clients on one asyncio loop, PRD MAX_HTTP_WORKERS=30).
+        # Wall-clock rps pacing is per-request by contract, so it forces
+        # sequential waves of 1.
+        self.connections = max(1, int(connections))
 
     def _pace(self, host: str) -> None:
         if self.rps is None:
@@ -81,6 +87,22 @@ class SyntheticFetcher:
         hosts = batch["host"].to_pylist()
         statuses, htmls = [], []
         i, n = 0, len(hosts)
+        if self.rps is None and self.global_limiter is None and self.connections > 1:
+            # pure budget-politeness mode: the connection pool spans hosts
+            # (an async client multiplexes in-flight requests wherever they
+            # go), so waves ignore host boundaries entirely
+            for w in range(0, n, self.connections):
+                if self.net_latency_sec:
+                    time.sleep(self.net_latency_sec)
+                for idx in range(w, min(w + self.connections, n)):
+                    status, html = self.web.fetch(
+                        urls[idx], retry_count=retries[idx] or 0
+                    )
+                    statuses.append(status)
+                    htmls.append(html)
+            return batch.append_column(
+                "status", pa.array(statuses, type=pa.int32())
+            ).append_column("html", pa.array(htmls, type=pa.string()))
         while i < n:
             host = hosts[i]
             j = i + 1
@@ -97,15 +119,20 @@ class SyntheticFetcher:
                     if self.global_limiter is not None
                     else j - k
                 )
-                for idx in range(k, k + granted):
-                    self._pace(host)
+                conns = 1 if self.rps is not None else self.connections
+                for w in range(k, k + granted, conns):
+                    wave_end = min(w + conns, k + granted)
+                    for idx in range(w, wave_end):
+                        self._pace(host)
                     if self.net_latency_sec:
+                        # one RTT covers the whole in-flight wave
                         time.sleep(self.net_latency_sec)
-                    status, html = self.web.fetch(
-                        urls[idx], retry_count=retries[idx] or 0
-                    )
-                    statuses.append(status)
-                    htmls.append(html)
+                    for idx in range(w, wave_end):
+                        status, html = self.web.fetch(
+                            urls[idx], retry_count=retries[idx] or 0
+                        )
+                        statuses.append(status)
+                        htmls.append(html)
                 k += granted
             i = j
         return batch.append_column(

@@ -193,3 +193,21 @@ def test_custom_classification_rules_conformance(ray_session):
     g_default = golden_crawl(WEB, budget_per_host=BUDGET, max_rounds=ROUNDS)
     assert {d["error_category"] for d in g_default.dlq} == {"not_found"}
     assert len(g.dlq) != len(g_default.dlq)
+
+
+def test_connection_waves_conformance(golden, ray_session):
+    """fetch_connections overlaps network latency inside fetch tasks (waves
+    of C in-flight requests share one RTT) — it must change WALL TIME only:
+    order, seen set, DLQ and page payloads stay golden-identical."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    res = CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=ROUNDS, seen_shards=2,
+        record_history=True, fetch_connections=8, net_latency_sec=0.001,
+    ).run()
+    assert [(r, h) for r, h, _ in golden.order] == [
+        (r, h) for r, h, _ in res.order
+    ]
+    assert golden.seen == res.seen
+    g = {(d["url_hash"], d["status"], d["round"]) for d in golden.dlq}
+    assert g == {(d["url_hash"], d["status"], d["round"]) for d in res.dlq_rows}
