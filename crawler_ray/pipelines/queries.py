@@ -1569,6 +1569,26 @@ WHERE a.vec_id < {EMB_PAIR_LIMIT} AND b.vec_id < {EMB_PAIR_LIMIT}
 """
 
 
+def q_emb_lsh_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the FULL corpus via LSH
+    banding + distributed exact-cosine verify (stages/ann.lsh_dedup_pairs)
+    — the scale path where the all-pairs matmul of ``emb_similar_pairs``
+    (O(N^2), bounded-id there) stops fitting.  Rows-only: recall is
+    approximate by construction; measured against exact all-pairs in
+    tests/test_ann_pruning.py (>= 0.95 on planted near-dup clusters with
+    pruning, >= 0.8 here).  This corpus' pair threshold (0.35) is WEAK
+    similarity, so bits tune low (4) and pruning is honest-poor — the
+    planted-cluster test shows the >= 0.9-cosine regime where banding
+    collapses candidates to the clusters."""
+    from crawler_ray.stages.ann import lsh_dedup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_dedup_pairs(
+        ds, dim=EMB_DIM, threshold=EMB_PAIR_THRESHOLD,
+        n_tables=16, n_bits=4,
+    )
+
+
 def q_emb_label_stats(sf_dir: str):
     """Per-label counts + norms (grouped aggregate over vector columns)."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
@@ -2270,6 +2290,7 @@ QUERIES = {
     "lineitem_quantiles": q_lineitem_quantiles,
     "doc_sample": q_doc_sample,
     "price_quantiles_sketch": q_price_quantiles_sketch,
+    "emb_lsh_pairs": q_emb_lsh_pairs,
 }
 
 

@@ -324,3 +324,141 @@ def ann_query(sf_dir: str, n_queries: int = 10, k: int = 5):
     Q = _matrix(qt)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_topk(ds, q_ids, Q, k=k, train_sample=train)
+
+
+# ---------------------------------------------------- LSH near-dup ALL-PAIRS
+def lsh_dedup_pairs(
+    ds: "rd.Dataset",
+    dim: int,
+    threshold: float,
+    n_tables: int = 12,
+    n_bits: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 4096,
+) -> "rd.Dataset":
+    """Embedding-cosine near-duplicate PAIRS over the whole corpus via LSH
+    banding: signatures -> (band, id) rows -> per-bucket candidate pairs ->
+    cross-table dedup -> exact-cosine verification through distributed
+    attach joins (stages/join.attach_unique — the minhash verify shape,
+    queries.py:974-985).  Only bucket-mates ever pair, so candidate volume
+    is O(sum_b k_b^2) instead of O(N^2); with (T, b) sized to the corpus'
+    similarity structure (see tune_lsh_bits) that collapses to the near-dup
+    clusters.  Recall is approximate by construction — asserted against
+    exact all-pairs on planted-duplicate corpora in tests/test_ann_pruning.py.
+
+    Hot buckets (a band value shared by > max_bucket ids — where the hash
+    is uninformative and LSH recall is already lost) are subdivided in
+    sorted-id chunks, bounding any bucket's pair emission at
+    O(k * max_bucket) instead of O(k^2).
+    """
+    lsh = HyperplaneLSH(dim, n_tables=n_tables, n_bits=n_bits, seed=seed)
+    pref = ray.put(lsh.planes)
+    shift = np.int64(1 << n_bits)
+
+    def sigs(t: pa.Table) -> pa.Table:
+        planes = ray.get(pref)
+        X = _matrix(t, vec_col)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+        bands, out_ids = [], []
+        for tb in range(planes.shape[0]):
+            xb = ((Xn @ planes[tb].T) > 0) @ weights
+            bands.append(np.int64(tb) * shift + xb)
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), type=pa.int64()),
+                "vid": pa.array(np.concatenate(out_ids), type=pa.int64()),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pa.Table:
+        ids = np.sort(df["vid"].to_numpy(np.int64))
+        empty = pa.table(
+            {"a_id": pa.array([], type=pa.int64()),
+             "b_id": pa.array([], type=pa.int64())}
+        )
+        if len(ids) < 2:
+            return empty
+        a_all, b_all = [], []
+        for s in range(0, len(ids), max_bucket):
+            chunk = ids[s : s + max_bucket]
+            if len(chunk) < 2:
+                continue
+            iu = np.triu_indices(len(chunk), 1)
+            a_all.append(chunk[iu[0]])
+            b_all.append(chunk[iu[1]])
+        if not a_all:
+            return empty
+        return pa.table(
+            {"a_id": pa.array(np.concatenate(a_all), type=pa.int64()),
+             "b_id": pa.array(np.concatenate(b_all), type=pa.int64())}
+        )
+
+    cands = (
+        ds.map_batches(sigs, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # distinct pairs across tables: bucket by pair hash, vectorized
+    # drop_duplicates per bucket (the _dedup_pair_candidates shape)
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        pb = ((a * np.int64(1000003) + b) % np.int64(64)).astype(np.int32)
+        return t.append_column("pbucket", pa.array(pb, type=pa.int32()))
+
+    def dedup(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["a_id", "b_id"])
+        return pa.table(
+            {"a_id": pa.array(df["a_id"].to_numpy(np.int64)),
+             "b_id": pa.array(df["b_id"].to_numpy(np.int64))}
+        )
+
+    uniq = (
+        cands.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+    # exact-cosine verify: attach both sides' vectors via distributed
+    # unique-key joins; only candidate ids' vectors co-locate
+    from crawler_ray.stages.join import attach_unique
+
+    vecs = ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+    )
+    with_a = attach_unique(uniq, vecs, "a_id", id_col, how="inner").map_batches(
+        lambda t: t.rename_columns(
+            [c if c != vec_col else "__vec_a" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = attach_unique(with_a, vecs, "b_id", id_col, how="inner")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a_id": pd.array([], dtype="int64"),
+                 "b_id": pd.array([], dtype="int64"),
+                 "cosine": pd.array([], dtype="float64")}
+            )
+        va = np.vstack(df["__vec_a"].to_numpy()).astype(np.float64)
+        vb = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+        na = np.maximum(np.linalg.norm(va, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-12)
+        cos = (va * vb).sum(axis=1) / (na * nb)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "a_id": df["a_id"].to_numpy(np.int64)[keep],
+                "b_id": df["b_id"].to_numpy(np.int64)[keep],
+                "cosine": _duck_round(cos[keep], 6),
+            }
+        )
+
+    return with_both.map_batches(verify, batch_format="pandas", batch_size=4096)

@@ -1,0 +1,125 @@
+"""Frontier/seen-set scale probe: offer -> dedup -> resolve throughput.
+
+Measures the discovery path of the flagship crawl (the one that is NOT
+budget-bounded: discoveries per round ~ pages x avg-links) at two orders of
+magnitude above the bench corpus: N_NEW candidate URLs are generated inside
+distributed map_batches tasks, offered to the sharded seen set as Arrow
+blocks (state/seen.py offer_block — zero per-row Python, nothing via the
+driver), and resolved into a next-round frontier via from_arrow_refs (the
+driver holds O(shards) ObjectRefs).
+
+Pass 2 re-offers all of pass 1's URLs plus N_NEW fresh ones and asserts the
+seen set admits exactly the fresh set — the dedup semantics at volume.
+
+Run:  python probes/seen_frontier_probe.py   (one JSON line on stdout)
+Results are recorded in BASELINE.md (round-3 scale probe).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+N_NEW = 4_000_000          # candidates per pass
+N_BLOCKS = 64
+N_SHARDS = 8
+N_HOSTS = 1024
+
+
+def candidate_block(ids: np.ndarray) -> pa.Table:
+    """Deterministic candidate URLs: hash = mixed-int hex (uniform across
+    shards), ~100 hosts-per-block locality like a real parse block."""
+    mixed = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+        ids.astype(np.uint64) >> np.uint64(7)
+    )
+    hashes = [format(int(x), "016x") for x in mixed]
+    hosts = [f"host{int(i) % N_HOSTS}.example" for i in ids]
+    urls = [f"https://{h}/doc/{int(i)}" for h, i in zip(hosts, ids)]
+    sortkeys = [f"{x}:{int(i) & 0xffff:08d}" for x, i in zip(hashes, ids)]
+    return pa.table(
+        {
+            "url_hash": pa.array(hashes, type=pa.string()),
+            "sortkey": pa.array(sortkeys, type=pa.string()),
+            "url": pa.array(urls, type=pa.string()),
+            "host": pa.array(hosts, type=pa.string()),
+            "parent_hash": pa.array(hashes, type=pa.string()),
+        }
+    )
+
+
+def offer_pass(seen, lo: int, hi: int) -> float:
+    """Offer ids [lo, hi) from distributed tasks; return wall seconds."""
+    t0 = time.monotonic()
+
+    def gen_and_offer(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        offered = seen.offer_block(candidate_block(ids))
+        return pa.table({"offered": pa.array([offered], type=pa.int64())})
+
+    total = (
+        rd.range(hi - lo, override_num_blocks=N_BLOCKS)
+        .map_batches(lambda b, lo=lo: pa.table(
+            {"id": pa.compute.add(b["id"], lo)}), batch_format="pyarrow")
+        .map_batches(gen_and_offer, batch_format="pyarrow", batch_size=None)
+        .sum("offered")
+    )
+    assert total == hi - lo, (total, hi - lo)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from crawler_ray.state.seen import ShardedSeen
+
+    seen = ShardedSeen(N_SHARDS, "cuckoo")
+
+    # pass 1: N_NEW fresh candidates
+    offer1 = offer_pass(seen, 0, N_NEW)
+    t0 = time.monotonic()
+    new_ds = rd.from_arrow_refs(seen.resolve_refs(2, 0, 1)).materialize()
+    resolve1 = time.monotonic() - t0
+    n1 = new_ds.count()
+
+    # pass 2: all of pass 1 again (all seen) + N_NEW fresh
+    offer2 = offer_pass(seen, 0, 2 * N_NEW)
+    t0 = time.monotonic()
+    new_ds2 = rd.from_arrow_refs(seen.resolve_refs(2, 0, 2)).materialize()
+    resolve2 = time.monotonic() - t0
+    n2 = new_ds2.count()
+
+    out = {
+        "metric": "seen_frontier_probe",
+        "n_candidates_pass1": N_NEW,
+        "n_candidates_pass2": 2 * N_NEW,
+        "n_shards": N_SHARDS,
+        "offer1_sec": round(offer1, 2),
+        "resolve1_sec": round(resolve1, 2),
+        "offer2_sec": round(offer2, 2),
+        "resolve2_sec": round(resolve2, 2),
+        "pass1_new_rows": n1,
+        "pass2_new_rows": n2,
+        "offers_per_sec_pass2": round(2 * N_NEW / offer2),
+        "frontier_blocks_driver_refs": N_SHARDS,
+    }
+    # dedup semantics at volume: pass 1 admits everything, pass 2 admits
+    # exactly the fresh half (cuckoo false positives may drop a tiny slice)
+    assert n1 == N_NEW, n1
+    assert N_NEW * 0.99 <= n2 <= N_NEW, n2
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -110,3 +110,101 @@ def test_tuning_backs_off_on_weak_similarity():
     X = rng.standard_normal((500, DIM))
     Q = rng.standard_normal((8, DIM))
     assert tune_lsh_bits(X, Q, k=K, n_tables=16) <= 6
+
+
+# ------------------------------------------------ LSH near-dup ALL-PAIRS
+def _planted_dup_corpus(n_clusters=40, per_cluster=8, n_noise=680, dim=32):
+    """Clusters of tight near-duplicates (cosine >= ~0.9 within a cluster)
+    in a sea of random noise vectors."""
+    rng = np.random.default_rng(23)
+    rows, ids = [], []
+    i = 0
+    for _ in range(n_clusters):
+        base = rng.normal(0, 1, dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            rows.append(base + rng.normal(0, 0.05, dim))
+            ids.append(i)
+            i += 1
+    for _ in range(n_noise):
+        rows.append(rng.normal(0, 1, dim))
+        ids.append(i)
+        i += 1
+    return np.array(rows), np.array(ids, dtype=np.int64)
+
+
+def test_lsh_dedup_pairs_recall_and_pruning(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.stages.ann import HyperplaneLSH, lsh_dedup_pairs
+
+    X, ids = _planted_dup_corpus()
+    dim, thr = X.shape[1], 0.85
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    hits = S[iu] >= thr
+    exact = {
+        (int(ids[iu[0][j]]), int(ids[iu[1][j]]))
+        for j in np.flatnonzero(hits)
+    }
+    assert len(exact) >= 500  # the planted clusters produce real work
+
+    n_tables, n_bits = 16, 10
+    tbl = pa.table(
+        {"vec_id": pa.array(ids), "embedding": pa.array(list(map(list, X)))}
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = lsh_dedup_pairs(
+        ds, dim=dim, threshold=thr, n_tables=n_tables, n_bits=n_bits
+    ).take_all()
+    got = {(r["a_id"], r["b_id"]) for r in out}
+
+    # every returned pair is exact-verified (precision 1.0 by construction)
+    assert got <= exact
+    # recall: banding at 12 bits finds nearly all >= 0.85-cosine pairs
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, recall
+
+    # pruning: candidate volume collapses to the clusters (< 5% of all
+    # pairs) — measured by replaying the banding in numpy
+    lsh = HyperplaneLSH(dim, n_tables=n_tables, n_bits=n_bits)
+    B = lsh.buckets(Xn)
+    n_cand = 0
+    for t in range(n_tables):
+        _, counts = np.unique(B[:, t], return_counts=True)
+        n_cand += int((counts * (counts - 1) // 2).sum())
+    frac = n_cand / (len(X) * (len(X) - 1) // 2)
+    assert frac < 0.05, frac
+
+
+def test_emb_lsh_pairs_query_recall(ray_session, sf_dir):
+    """The full-corpus query at this corpus' weak 0.35 threshold: verify
+    subset-of-exact (precision 1.0) and useful recall at 4 tuned bits."""
+    from crawler_ray.pipelines.queries import (
+        EMB_PAIR_THRESHOLD, QUERIES, q_emb_lsh_pairs,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    X = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy(np.int64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    hits = S[iu] >= EMB_PAIR_THRESHOLD
+    exact = {
+        (int(min(ids[iu[0][j]], ids[iu[1][j]])),
+         int(max(ids[iu[0][j]], ids[iu[1][j]])))
+        for j in np.flatnonzero(hits)
+    }
+    got = {
+        (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"]))
+        for r in q_emb_lsh_pairs(sf_dir).take_all()
+    }
+    assert got <= exact
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
