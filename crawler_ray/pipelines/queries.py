@@ -1589,6 +1589,47 @@ def q_emb_lsh_pairs(sf_dir: str):
     )
 
 
+@_functools.lru_cache(maxsize=1)
+def _sql_emb_lsh_pairs() -> str:
+    """Full-SQL recomputation of the LSH near-dup pair pipeline
+    (stages/ann.py::lsh_dedup_pairs): the seeded plane literals (same
+    MAX_PLANE_BITS draw as the engine, sliced to 4 bits), bucket signatures
+    as sign-of-dot-product sums, bucket-mate candidate pairs deduped across
+    tables, exact-cosine rescoring at the pair threshold.  Valid while no
+    (table, bucket) group exceeds the engine's max_bucket subdivision
+    limit (4096; the sf0.01 driver corpus peaks near 500/16 per table)."""
+    from crawler_ray.stages.ann import MAX_PLANE_BITS
+
+    n_tables, n_bits = 16, 4
+    planes = np.random.default_rng(7).standard_normal(
+        (n_tables, MAX_PLANE_BITS, EMB_DIM)
+    )
+    vals = ", ".join(
+        "({}, {}, [{}])".format(t, b, ", ".join(repr(v) for v in planes[t, b]))
+        for t in range(n_tables) for b in range(n_bits)
+    )
+    return f"""
+WITH planes(t, b, p) AS (VALUES {vals}),
+buck AS (
+  SELECT e.vec_id, pl.t,
+         SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.p) > 0
+                  THEN 1 << pl.b ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id)
+SELECT c.a_id, c.b_id,
+       ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]) >= {EMB_PAIR_THRESHOLD}
+"""
+
+
 def q_emb_label_stats(sf_dir: str):
     """Per-label counts + norms (grouped aggregate over vector columns)."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
@@ -2336,4 +2377,10 @@ def oracle_sql() -> dict[str, str]:
         # recomputation (planes / k-means unrolled in the SQL itself)
         "knn_ann_lsh": _sql_knn_ann_lsh(),
         "knn_ann_ivf": _sql_knn_ann_ivf(),
+        "emb_lsh_pairs": _sql_emb_lsh_pairs(),
+        # price_quantiles_sketch is the ONE registry entry without an
+        # oracle: RankSketch compaction depends on merge order (unlike
+        # HLL's commutative max), so the estimate is not a pure function
+        # of the data across parallelism levels — accuracy is asserted
+        # by rank-error bound instead (tests/test_sketch.py).
     }
