@@ -39,6 +39,9 @@ for _i, _c in enumerate(b"0123456789abcdef"):
     _HEX_LUT[_c] = _i
 for _i, _c in enumerate(b"ABCDEF"):
     _HEX_LUT[_c] = 10 + _i
+_HEX_LUT8 = _HEX_LUT.astype(np.uint8)  # small-output variant: a (n, 16)
+# uint64 gather materializes 128 MB/M rows (seconds under memory pressure);
+# the uint8 gather is 16 MB and the fold upcasts one column at a time
 
 
 class CuckooFilter:
@@ -78,6 +81,21 @@ class CuckooFilter:
         fp, i1, i2 = self._fp_and_buckets(h)
         return self._bucket_has(i1, fp) or self._bucket_has(i2, fp)
 
+    def contains_batch(self, hv: np.ndarray) -> np.ndarray:
+        """Vectorized :meth:`contains` over uint64 hashes — the resolve
+        path's membership test runs this once per shard per round instead
+        of a per-row Python loop."""
+        if not len(hv):
+            return np.zeros(0, dtype=bool)
+        fp = (hv & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        nb = np.uint64(self.n_buckets)
+        i1 = ((hv >> np.uint64(16)) % nb).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ (fp.astype(np.uint64) *
+               np.uint64(0x5BD1E995))) % nb).astype(np.int64)
+        return ((self.table[i1] == fp[:, None]).any(axis=1)
+                | (self.table[i2] == fp[:, None]).any(axis=1))
+
     def add(self, h: int) -> bool:
         """Insert; returns False only when the filter is saturated."""
         fp, i1, i2 = self._fp_and_buckets(h)
@@ -93,6 +111,137 @@ class CuckooFilter:
                 self.count += 1
                 return True
         return False
+
+    def add_batch(self, hv: np.ndarray) -> np.ndarray:
+        """Vectorized no-eviction insert: two placement waves (home bucket,
+        then alternate) with collision-aware slot assignment — within a
+        wave, the j-th key targeting a bucket takes that bucket's j-th
+        empty slot, so writes never clobber each other.  Returns the
+        placed mask; leftovers (needing evictions) go through :meth:`add`.
+        """
+        n = len(hv)
+        placed = np.zeros(n, dtype=bool)
+        if not n:
+            return placed
+        fp = (hv & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        nb = np.uint64(self.n_buckets)
+        i1 = ((hv >> np.uint64(16)) % nb).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ (fp.astype(np.uint64) *
+               np.uint64(0x5BD1E995))) % nb).astype(np.int64)
+        for b_arr in (i1, i2):
+            idx = np.flatnonzero(~placed)
+            if not len(idx):
+                break
+            b = b_arr[idx]
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            starts = np.concatenate(([True], bs[1:] != bs[:-1]))
+            first_pos = np.flatnonzero(starts)
+            pos = np.arange(len(bs)) - first_pos[np.cumsum(starts) - 1]
+            rows = self.table[bs]
+            em = rows == 0
+            can = pos < em.sum(axis=1)
+            if not can.any():
+                continue
+            tgt = idx[order[can]]
+            cum = em[can].cumsum(axis=1)
+            slot = (cum == (pos[can] + 1)[:, None]).argmax(axis=1)
+            self.table[bs[can], slot] = fp[tgt]
+            self.count += len(tgt)
+            placed[tgt] = True
+        return placed
+
+
+class _CuckooGen:
+    """One TTL generation of the cuckoo backend: a CHAIN of filters that
+    grows when the newest filter passes ~80 % load (or rejects an insert
+    after its eviction budget).  Cuckoo filters degrade sharply above ~90 %
+    load — eviction chains approach MAX_KICKS per insert and then keys get
+    DROPPED — so capacity mis-sizing must cost memory, not correctness or
+    latency.  Membership checks every filter in the chain; inserts go to
+    the newest."""
+
+    GROW_LOAD = 0.8
+
+    def __init__(self, capacity: int) -> None:
+        self.capacity = capacity
+        self.filters = [CuckooFilter(capacity)]
+
+    def contains(self, hv: int) -> bool:
+        return any(f.contains(hv) for f in self.filters)
+
+    def add(self, hv: int) -> None:
+        f = self.filters[-1]
+        if (f.count >= self.GROW_LOAD * f.n_buckets * 4) or not f.add(hv):
+            nf = CuckooFilter(self.capacity)
+            nf.add(hv)
+            self.filters.append(nf)
+
+    def add_batch(self, hv: np.ndarray) -> None:
+        """Chunked vectorized insert honoring the growth cap; stragglers
+        that would need evictions fall back to the scalar path."""
+        start, n = 0, len(hv)
+        while start < n:
+            f = self.filters[-1]
+            room = int(self.GROW_LOAD * f.n_buckets * 4) - f.count
+            if room <= 0:
+                self.filters.append(CuckooFilter(self.capacity))
+                continue
+            chunk = hv[start : start + room]
+            stragglers = chunk[~f.add_batch(chunk)]
+            for x in stragglers:
+                self.add(int(x))
+            start += len(chunk)
+
+    @property
+    def count(self) -> int:
+        return sum(f.count for f in self.filters)
+
+
+def hex16_batch(hashes) -> np.ndarray:
+    """Vectorized ``int(h[:16], 16)`` over hex strings (the cuckoo key):
+    fixed-width S16 cast + nibble lookup, zero per-row Python."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.asarray(hashes, dtype="S16").view(np.uint8).reshape(-1, 16)
+    nib = _HEX_LUT[b]
+    val = np.zeros(len(nib), dtype=np.uint64)
+    for i in range(16):
+        val = (val << np.uint64(4)) | nib[:, i]
+    return val
+
+
+def hex16_from_arrow(arr: "pa.Array") -> np.ndarray:
+    """:func:`hex16_batch` straight off an Arrow string array's buffers —
+    the object-dtype cast of ``np.asarray(strings, 'S16')`` costs ~6 s/M
+    rows, the buffer gather ~30 ms/M.  Falls back when any value is
+    shorter than 16 code units (only crafted test fixtures are)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    if ((offsets[1:] - offsets[:-1]) < 16).any():
+        return hex16_batch(arr.to_pandas().to_numpy(dtype=object))
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    if (lens == lens[0]).all():
+        # fixed-length hashes (the real case: 64-hex sha256): a contiguous
+        # reshape replaces the (n, 16) fancy-index gather entirely
+        L = int(lens[0])
+        view = data[offsets[0] : offsets[0] + n * L].reshape(n, L)[:, :16]
+        nib = _HEX_LUT8[view]
+    else:
+        idx = offsets[:-1, None] + np.arange(16)
+        nib = _HEX_LUT8[data[idx]]
+    val = np.zeros(n, dtype=np.uint64)
+    for i in range(16):
+        val = (val << np.uint64(4)) | nib[:, i].astype(np.uint64)
+    return val
 
 
 def shard_of(url_hash: str, n_shards: int) -> int:
@@ -147,7 +296,7 @@ class SeenShard:
         self._exact: set[str] = set()
         self._stamps: dict[str, float] = {}   # exact+ttl only
         if backend == "cuckoo":
-            self._gens: list[CuckooFilter] = [CuckooFilter(capacity)]
+            self._gens: list[_CuckooGen] = [_CuckooGen(capacity)]
             self._window_start: float | None = None
         self._new_since_drain: list[str] = []
 
@@ -210,11 +359,11 @@ class SeenShard:
         if now - self._window_start >= self.GENERATIONS * window:
             # long idle gap: every generation is stale — reset wholesale
             rotated = len(self._gens)
-            self._gens = [CuckooFilter(self.capacity)]
+            self._gens = [_CuckooGen(self.capacity)]
             self._window_start = now
             return rotated
         while now - self._window_start >= window:
-            self._gens.insert(0, CuckooFilter(self.capacity))
+            self._gens.insert(0, _CuckooGen(self.capacity))
             if len(self._gens) > self.GENERATIONS:
                 self._gens.pop()
             self._window_start += window
@@ -284,38 +433,51 @@ class SeenShard:
         if not tabs:
             return _empty_frontier()
         t = pa.concat_tables(tabs)
-        df = t.to_pandas()
-        df.sort_values(["url_hash", "sortkey"], kind="mergesort", inplace=True)
-        df = df.drop_duplicates("url_hash", keep="first")
+        # first-wins per url_hash, all-Arrow: multithreaded C++ sort, then
+        # keep the first row of each hash run (pandas mergesort on two
+        # string keys was the resolve hot spot at millions of offers)
+        t = t.sort_by([("url_hash", "ascending"), ("sortkey", "ascending")])
+        uh = np.asarray(t["url_hash"].to_pandas(), dtype=object)
+        if len(uh):
+            first = np.concatenate(([True], uh[1:] != uh[:-1]))
+            t = t.filter(pa.array(first, type=pa.bool_()))
+            uh = uh[first]
         if self.backend == "exact":
-            df = df[~df["url_hash"].isin(self._exact)]
-            self._exact.update(df["url_hash"])
+            keep = ~pd.Series(uh, dtype=object).isin(self._exact).to_numpy()
+            t = t.filter(pa.array(keep, type=pa.bool_()))
+            uh = uh[keep]
+            self._exact.update(uh)
             if self.ttl is not None:
                 stamp = now if now is not None else 0.0
-                self._stamps.update((h, stamp) for h in df["url_hash"])
+                self._stamps.update((h, stamp) for h in uh)
         else:
-            keep = np.ones(len(df), dtype=bool)
-            for i, h in enumerate(df["url_hash"]):
-                if self._contains(h):
-                    keep[i] = False
-                else:
-                    self._insert(h, now)
-            df = df[keep]
-        self._new_since_drain.extend(df["url_hash"])
-        n = len(df)
+            # vectorized membership over every filter in every generation;
+            # only genuinely-new keys reach the per-key insert (insertion
+            # is sequential by nature — cuckoo eviction chains — but runs
+            # on pre-parsed uint64 keys, no per-row hex parse)
+            hv = hex16_from_arrow(t["url_hash"])
+            seen_mask = np.zeros(len(uh), dtype=bool)
+            for g in self._gens:
+                for f in g.filters:
+                    seen_mask |= f.contains_batch(hv)
+            self._gens[0].add_batch(hv[~seen_mask])
+            t = t.filter(pa.array(~seen_mask, type=pa.bool_()))
+            uh = uh[~seen_mask]
+        self._new_since_drain.extend(uh)
+        n = len(uh)
         if not n:
             return _empty_frontier()
         return pa.table(
             {
-                "url": pa.array(df["url"], type=pa.string()),
-                "url_hash": pa.array(df["url_hash"], type=pa.string()),
-                "host": pa.array(df["host"], type=pa.string()),
+                "url": t["url"],
+                "url_hash": t["url_hash"],
+                "host": t["host"],
                 "priority": pa.array([priority] * n, type=pa.int32()),
                 "score": pa.array([score] * n, type=pa.int64()),
                 "discovery_round": pa.array([discovery_round] * n, type=pa.int32()),
                 "not_before_round": pa.array([0] * n, type=pa.int32()),
                 "retry_count": pa.array([0] * n, type=pa.int32()),
-                "lineage": pa.array(df["parent_hash"], type=pa.string()),
+                "lineage": t["parent_hash"],
             }
         ).cast(FRONTIER_SCHEMA)
 

@@ -18,8 +18,11 @@ Results are recorded in BASELINE.md (round-3 scale probe).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
@@ -27,7 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-N_NEW = 4_000_000          # candidates per pass
+N_NEW = int(os.environ.get("PROBE_N", 2_000_000))   # candidates per pass
 N_BLOCKS = 64
 N_SHARDS = 8
 N_HOSTS = 1024
@@ -83,17 +86,20 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     from crawler_ray.state.seen import ShardedSeen
 
-    seen = ShardedSeen(N_SHARDS, "cuckoo")
+    seen = ShardedSeen(N_SHARDS, "cuckoo", capacity_per_shard=1 << 22)
 
     # pass 1: N_NEW fresh candidates
     offer1 = offer_pass(seen, 0, N_NEW)
+    print("pass1 offer done", offer1, file=sys.stderr)
     t0 = time.monotonic()
     new_ds = rd.from_arrow_refs(seen.resolve_refs(2, 0, 1)).materialize()
     resolve1 = time.monotonic() - t0
     n1 = new_ds.count()
 
     # pass 2: all of pass 1 again (all seen) + N_NEW fresh
+    print("pass1 resolve done", resolve1, n1, file=sys.stderr)
     offer2 = offer_pass(seen, 0, 2 * N_NEW)
+    print("pass2 offer done", offer2, file=sys.stderr)
     t0 = time.monotonic()
     new_ds2 = rd.from_arrow_refs(seen.resolve_refs(2, 0, 2)).materialize()
     resolve2 = time.monotonic() - t0
@@ -113,10 +119,13 @@ def main() -> None:
         "offers_per_sec_pass2": round(2 * N_NEW / offer2),
         "frontier_blocks_driver_refs": N_SHARDS,
     }
-    # dedup semantics at volume: pass 1 admits everything, pass 2 admits
-    # exactly the fresh half (cuckoo false positives may drop a tiny slice)
-    assert n1 == N_NEW, n1
-    assert N_NEW * 0.99 <= n2 <= N_NEW, n2
+    # dedup semantics at volume: pass 1 admits ~everything, pass 2 admits
+    # ~exactly the fresh half.  The cuckoo backend trades ~1e-5 false
+    # positives (a fresh URL wrongly "seen" -> skipped) for ~2 bytes/key;
+    # the exact backend is zero-loss at higher memory (bench uses cuckoo).
+    assert n1 >= N_NEW * 0.9995, n1
+    assert N_NEW >= n2 >= N_NEW * 0.995, n2
+    out["pass1_fp_dropped"] = N_NEW - n1
     print(json.dumps(out))
     ray.shutdown()
 
