@@ -153,3 +153,52 @@ def test_shard_of_batch_matches_scalar():
         vec = shard_of_batch(hs, n)
         assert vec.tolist() == [shard_of(h, n) for h in hs]
     assert shard_of_batch([], 4).tolist() == []
+
+
+def test_cuckoo_gen_grows_past_load_instead_of_dropping():
+    """Saturation must cost memory, not keys: pushing 3x a filter's
+    capacity through one generation grows the chain and keeps EVERY key
+    queryable (a saturated flat filter silently drops keys after its
+    eviction budget)."""
+    import numpy as np
+
+    from crawler_ray.state.seen import _CuckooGen
+
+    rng = np.random.default_rng(3)
+    hv = np.unique(rng.integers(1, 1 << 63, size=120_000, dtype=np.uint64))
+    g = _CuckooGen(1 << 16)  # 64k slots; ~120k keys forces repeated growth
+    g.add_batch(hv)
+    present = np.zeros(len(hv), dtype=bool)
+    for f in g.filters:
+        present |= f.contains_batch(hv)
+    assert bool(present.all())
+    assert len(g.filters) >= 2
+    # scalar path grows too
+    g2 = _CuckooGen(1 << 10)
+    for x in hv[:3000]:
+        g2.add(int(x))
+    assert all(g2.contains(int(x)) for x in hv[:3000])
+    assert len(g2.filters) >= 2
+
+
+def test_add_batch_matches_scalar_membership():
+    import numpy as np
+
+    from crawler_ray.state.seen import CuckooFilter
+
+    rng = np.random.default_rng(11)
+    hv = np.unique(rng.integers(1, 1 << 63, size=50_000, dtype=np.uint64))
+    fb = CuckooFilter(1 << 18)
+    placed = fb.add_batch(hv)
+    assert bool(placed.all())  # 50k into 256k slots: no evictions needed
+    fs = CuckooFilter(1 << 18)
+    for x in hv:
+        fs.add(int(x))
+    # identical membership verdicts between the two build paths
+    probe = np.unique(rng.integers(1, 1 << 63, size=20_000, dtype=np.uint64))
+    np.testing.assert_array_equal(
+        fb.contains_batch(probe), fs.contains_batch(probe)
+    )
+    np.testing.assert_array_equal(
+        fb.contains_batch(hv), fs.contains_batch(hv)
+    )
