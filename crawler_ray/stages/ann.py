@@ -429,9 +429,11 @@ def lsh_dedup_pairs(
     # unique-key joins; only candidate ids' vectors co-locate
     from crawler_ray.stages.join import attach_unique
 
+    # pin the narrow (id, vector) projection once: both attach joins consume
+    # it, and an unmaterialized projection would re-run the base read per join
     vecs = ds.map_batches(
         lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
-    )
+    ).materialize()
     with_a = attach_unique(uniq, vecs, "a_id", id_col, how="inner").map_batches(
         lambda t: t.rename_columns(
             [c if c != vec_col else "__vec_a" for c in t.column_names]

@@ -58,6 +58,12 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(seed)
+        # overflow stash: a failed eviction chain ends holding some OTHER
+        # key's displaced fingerprint — dropping it would turn a previously
+        # SEEN key into a false negative (re-crawl).  Stash (bucket, fp)
+        # instead; membership checks it.  Stays tiny: _CuckooGen grows the
+        # chain at 80 % load, so failed chains are rare.
+        self.stash: set[tuple[int, int]] = set()
 
     def _fp_and_buckets(self, h: int) -> tuple[int, int, int]:
         fp = (h & 0xFFFF) or 1  # 0 marks an empty slot
@@ -79,7 +85,11 @@ class CuckooFilter:
 
     def contains(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
-        return self._bucket_has(i1, fp) or self._bucket_has(i2, fp)
+        if self._bucket_has(i1, fp) or self._bucket_has(i2, fp):
+            return True
+        return bool(self.stash) and (
+            (i1, fp) in self.stash or (i2, fp) in self.stash
+        )
 
     def contains_batch(self, hv: np.ndarray) -> np.ndarray:
         """Vectorized :meth:`contains` over uint64 hashes — the resolve
@@ -93,8 +103,11 @@ class CuckooFilter:
         i1 = ((hv >> np.uint64(16)) % nb).astype(np.int64)
         i2 = ((i1.astype(np.uint64) ^ (fp.astype(np.uint64) *
                np.uint64(0x5BD1E995))) % nb).astype(np.int64)
-        return ((self.table[i1] == fp[:, None]).any(axis=1)
-                | (self.table[i2] == fp[:, None]).any(axis=1))
+        out = ((self.table[i1] == fp[:, None]).any(axis=1)
+               | (self.table[i2] == fp[:, None]).any(axis=1))
+        for si, sfp in self.stash:  # tiny (see __init__); vectorized per entry
+            out |= ((i1 == si) | (i2 == si)) & (fp == sfp)
+        return out
 
     def add(self, h: int) -> bool:
         """Insert; returns False only when the filter is saturated."""
@@ -110,6 +123,12 @@ class CuckooFilter:
             if self._bucket_insert(i, fp):
                 self.count += 1
                 return True
+        # chain exhausted: the carried fp belongs to some earlier-displaced
+        # key whose alternate bucket for that fp is exactly i — stash it so
+        # no previously-inserted key is ever forgotten, then report
+        # saturation (False -> the caller grows a new filter)
+        self.stash.add((i, fp))
+        self.count += 1
         return False
 
     def add_batch(self, hv: np.ndarray) -> np.ndarray:
@@ -173,10 +192,13 @@ class _CuckooGen:
 
     def add(self, hv: int) -> None:
         f = self.filters[-1]
-        if (f.count >= self.GROW_LOAD * f.n_buckets * 4) or not f.add(hv):
-            nf = CuckooFilter(self.capacity)
-            nf.add(hv)
-            self.filters.append(nf)
+        if f.count >= self.GROW_LOAD * f.n_buckets * 4:
+            f = CuckooFilter(self.capacity)
+            self.filters.append(f)
+        if not f.add(hv):
+            # False = stored (table + stash) but saturated: grow for the
+            # NEXT insert; hv itself is already queryable
+            self.filters.append(CuckooFilter(self.capacity))
 
     def add_batch(self, hv: np.ndarray) -> None:
         """Chunked vectorized insert honoring the growth cap; stragglers
@@ -199,49 +221,65 @@ class _CuckooGen:
         return sum(f.count for f in self.filters)
 
 
+def _fold_nibbles(nib: np.ndarray) -> np.ndarray:
+    """Fold an (n, W) uint8 nibble matrix into uint64 values — the ONE
+    shared hex-fold for hex16_batch / hex16_from_arrow / shard_of_batch."""
+    val = np.zeros(len(nib), dtype=np.uint64)
+    for i in range(nib.shape[1]):
+        val = (val << np.uint64(4)) | nib[:, i].astype(np.uint64)
+    return val
+
+
 def hex16_batch(hashes) -> np.ndarray:
     """Vectorized ``int(h[:16], 16)`` over hex strings (the cuckoo key):
-    fixed-width S16 cast + nibble lookup, zero per-row Python."""
+    fixed-width S16 cast + nibble lookup, zero per-row Python.  Values
+    shorter than 16 chars right-align exactly like the scalar
+    ``int(h[:16], 16)`` (the S16 null-padding would otherwise LEFT-align
+    them, making the batch key disagree with the scalar insert paths)."""
     if len(hashes) == 0:
         return np.zeros(0, dtype=np.uint64)
     b = np.asarray(hashes, dtype="S16").view(np.uint8).reshape(-1, 16)
-    nib = _HEX_LUT[b]
-    val = np.zeros(len(nib), dtype=np.uint64)
-    for i in range(16):
-        val = (val << np.uint64(4)) | nib[:, i]
+    val = _fold_nibbles(_HEX_LUT8[b])
+    pad = (b == 0).sum(axis=1).astype(np.uint64)  # hex bytes are never \\0
+    if pad.any():
+        val >>= np.uint64(4) * pad
     return val
 
 
 def hex16_from_arrow(arr: "pa.Array") -> np.ndarray:
     """:func:`hex16_batch` straight off an Arrow string array's buffers —
     the object-dtype cast of ``np.asarray(strings, 'S16')`` costs ~6 s/M
-    rows, the buffer gather ~30 ms/M.  Falls back when any value is
-    shorter than 16 code units (only crafted test fixtures are)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
-    if n == 0:
+    rows, the buffer gather ~30 ms/M.  Processes per chunk (never
+    ``combine_chunks``, which overflows int32 offsets past 2 GiB of
+    hashes); falls back per chunk when any value is shorter than 16 code
+    units (only crafted test fixtures are)."""
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    parts = []
+    for c in chunks:
+        n = len(c)
+        if n == 0:
+            continue
+        offsets = np.frombuffer(c.buffers()[1], dtype=np.int32)[
+            c.offset : c.offset + n + 1
+        ].astype(np.int64)
+        lens = offsets[1:] - offsets[:-1]
+        if (lens < 16).any():
+            parts.append(hex16_batch(c.to_pandas().to_numpy(dtype=object)))
+            continue
+        data = np.frombuffer(c.buffers()[2], dtype=np.uint8)
+        if (lens == lens[0]).all():
+            # fixed-length hashes (the real case: 64-hex sha256): a
+            # contiguous reshape replaces the fancy-index gather entirely
+            L = int(lens[0])
+            view = data[offsets[0] : offsets[0] + n * L].reshape(n, L)[:, :16]
+            nib = _HEX_LUT8[view]
+        else:
+            idx = offsets[:-1, None] + np.arange(16)
+            nib = _HEX_LUT8[data[idx]]
+        parts.append(_fold_nibbles(nib))
+    if not parts:
         return np.zeros(0, dtype=np.uint64)
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    if ((offsets[1:] - offsets[:-1]) < 16).any():
-        return hex16_batch(arr.to_pandas().to_numpy(dtype=object))
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    lens = offsets[1:] - offsets[:-1]
-    if (lens == lens[0]).all():
-        # fixed-length hashes (the real case: 64-hex sha256): a contiguous
-        # reshape replaces the (n, 16) fancy-index gather entirely
-        L = int(lens[0])
-        view = data[offsets[0] : offsets[0] + n * L].reshape(n, L)[:, :16]
-        nib = _HEX_LUT8[view]
-    else:
-        idx = offsets[:-1, None] + np.arange(16)
-        nib = _HEX_LUT8[data[idx]]
-    val = np.zeros(n, dtype=np.uint64)
-    for i in range(16):
-        val = (val << np.uint64(4)) | nib[:, i].astype(np.uint64)
-    return val
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def shard_of(url_hash: str, n_shards: int) -> int:
@@ -259,10 +297,10 @@ def shard_of_batch(hashes, n_shards: int) -> np.ndarray:
     if len(hashes) == 0:
         return np.zeros(0, dtype=np.int64)
     b = np.asarray(hashes, dtype="S8").view(np.uint8).reshape(-1, 8)
-    nib = _HEX_LUT[b]
-    val = np.zeros(len(nib), dtype=np.uint64)
-    for i in range(8):  # 8 iterations total, each vectorized over the batch
-        val = (val << np.uint64(4)) | nib[:, i]
+    val = _fold_nibbles(_HEX_LUT8[b])
+    pad = (b == 0).sum(axis=1).astype(np.uint64)  # right-align short hashes
+    if pad.any():                                 # exactly like shard_of's
+        val >>= np.uint64(4) * pad                # int(h[:8], 16)
     return (val % np.uint64(n_shards)).astype(np.int64)
 
 
@@ -437,12 +475,20 @@ class SeenShard:
         # keep the first row of each hash run (pandas mergesort on two
         # string keys was the resolve hot spot at millions of offers)
         t = t.sort_by([("url_hash", "ascending"), ("sortkey", "ascending")])
-        uh = np.asarray(t["url_hash"].to_pandas(), dtype=object)
-        if len(uh):
-            first = np.concatenate(([True], uh[1:] != uh[:-1]))
+        n_all = len(t)
+        if n_all:
+            # run boundaries via a C-level string compare of the column
+            # against itself shifted by one — no per-row Python objects
+            import pyarrow.compute as _pc
+
+            col = t["url_hash"]
+            eq = _pc.equal(col.slice(1), col.slice(0, n_all - 1))
+            first = np.concatenate(
+                ([True], ~eq.to_numpy(zero_copy_only=False).astype(bool))
+            )
             t = t.filter(pa.array(first, type=pa.bool_()))
-            uh = uh[first]
         if self.backend == "exact":
+            uh = np.asarray(t["url_hash"].to_pandas(), dtype=object)
             keep = ~pd.Series(uh, dtype=object).isin(self._exact).to_numpy()
             t = t.filter(pa.array(keep, type=pa.bool_()))
             uh = uh[keep]
@@ -452,17 +498,16 @@ class SeenShard:
                 self._stamps.update((h, stamp) for h in uh)
         else:
             # vectorized membership over every filter in every generation;
-            # only genuinely-new keys reach the per-key insert (insertion
-            # is sequential by nature — cuckoo eviction chains — but runs
-            # on pre-parsed uint64 keys, no per-row hex parse)
+            # only genuinely-new keys reach the vectorized insert, and only
+            # the WINNERS ever materialize as Python strings (for drain)
             hv = hex16_from_arrow(t["url_hash"])
-            seen_mask = np.zeros(len(uh), dtype=bool)
+            seen_mask = np.zeros(len(t), dtype=bool)
             for g in self._gens:
                 for f in g.filters:
                     seen_mask |= f.contains_batch(hv)
             self._gens[0].add_batch(hv[~seen_mask])
             t = t.filter(pa.array(~seen_mask, type=pa.bool_()))
-            uh = uh[~seen_mask]
+            uh = np.asarray(t["url_hash"].to_pandas(), dtype=object)
         self._new_since_drain.extend(uh)
         n = len(uh)
         if not n:

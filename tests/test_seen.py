@@ -202,3 +202,45 @@ def test_add_batch_matches_scalar_membership():
     np.testing.assert_array_equal(
         fb.contains_batch(hv), fs.contains_batch(hv)
     )
+
+
+def test_hex_batch_matches_scalar_for_short_hashes():
+    """Batch and scalar key derivations must agree for ANY hash length —
+    a left/right-alignment mismatch would split one URL's identity across
+    the offer/resolve and seen_and_add insert paths."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.state.seen import (
+        hex16_batch, hex16_from_arrow, shard_of, shard_of_batch,
+    )
+
+    hashes = ["abc", "deadbeef", "0123456789abcdef", "f" * 64, "1", "ABC7"]
+    want = np.array([int(h[:16], 16) for h in hashes], dtype=np.uint64)
+    np.testing.assert_array_equal(hex16_batch(hashes), want)
+    np.testing.assert_array_equal(
+        hex16_from_arrow(pa.chunked_array([pa.array(hashes)])), want
+    )
+    for n_shards in (2, 5, 8):
+        want_sh = [shard_of(h, n_shards) for h in hashes]
+        assert shard_of_batch(hashes, n_shards).tolist() == want_sh
+
+
+def test_failed_eviction_chain_never_forgets_a_key():
+    """Force eviction-chain failures on a tiny saturated filter: every key
+    ever accepted must remain queryable (stash semantics)."""
+    import numpy as np
+
+    from crawler_ray.state.seen import CuckooFilter
+
+    rng = np.random.default_rng(5)
+    f = CuckooFilter(64)  # 64 buckets min is clamped; force heavy load
+    inserted = []
+    for x in rng.integers(1, 1 << 63, size=220, dtype=np.uint64):
+        f.add(int(x))          # stash on chain failure, never drop
+        inserted.append(int(x))
+        assert all(f.contains(v) for v in inserted)
+    assert all(f.contains(v) for v in inserted)
+    # batch membership agrees, stash included
+    arr = np.array(inserted, dtype=np.uint64)
+    assert bool(f.contains_batch(arr).all())
