@@ -367,13 +367,18 @@ class SeenShard:
                         stamps[h] = stamp
                     out[i] = True
         else:
-            gens = self._gens
-            cur = gens[0]
-            for i, h in enumerate(hashes):
-                hv = int(h[:16], 16)
-                if not any(g.contains(hv) for g in gens):
-                    cur.add(hv)
-                    out[i] = True
+            # vectorized: batch membership across all filters, then insert
+            # only first occurrences (duplicates within one batch must get
+            # False, matching the scalar first-wins semantics)
+            hv = hex16_batch(np.asarray(hashes, dtype=object))
+            seen_mask = np.zeros(len(hv), dtype=bool)
+            for g in self._gens:
+                for f in g.filters:
+                    seen_mask |= f.contains_batch(hv)
+            is_first = np.zeros(len(hv), dtype=bool)
+            is_first[np.unique(hv, return_index=True)[1]] = True
+            out = ~seen_mask & is_first
+            self._gens[0].add_batch(hv[out])
         self._new_since_drain.extend(h for i, h in enumerate(hashes) if out[i])
         return out
 
