@@ -337,6 +337,7 @@ def lsh_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
+    broadcast_rows: int = 200_000,
 ) -> "rd.Dataset":
     """Embedding-cosine near-duplicate PAIRS over the whole corpus via LSH
     banding: signatures -> (band, id) rows -> per-bucket candidate pairs ->
@@ -425,8 +426,12 @@ def lsh_dedup_pairs(
         .map_groups(dedup, batch_format="pandas")
     )
 
-    # exact-cosine verify: attach both sides' vectors via distributed
-    # unique-key joins; only candidate ids' vectors co-locate
+    # exact-cosine verify — hybrid, like the minhash verify: small corpora
+    # broadcast the (id, vector) matrix once and score candidate pairs by
+    # indexed dots inside map_batches (no join shuffle); larger corpora go
+    # through distributed unique-key attach joins so only candidate ids'
+    # vectors ever co-locate.  Both paths compute the IDENTICAL float
+    # expression dot/(na*nb), so results are bit-equal.
     from crawler_ray.stages.join import attach_unique
 
     # pin the narrow (id, vector) projection once: both attach joins consume
@@ -434,6 +439,34 @@ def lsh_dedup_pairs(
     vecs = ds.map_batches(
         lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
     ).materialize()
+
+    if vecs.count() <= broadcast_rows:
+        side = pa.concat_tables(
+            ray.get(vecs.to_arrow_refs()), promote_options="default"
+        )
+        s_ids = side[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _matrix(side, vec_col)
+        order = np.argsort(s_ids, kind="stable")
+        s_ids, M = s_ids[order], np.ascontiguousarray(M[order])
+        norms = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
+        ref = ray.put((s_ids, M, norms))
+
+        def verify_bc(t: pa.Table) -> pd.DataFrame:
+            s_ids_, M_, n_ = ray.get(ref)
+            a = np.searchsorted(s_ids_, t["a_id"].to_numpy(zero_copy_only=False))
+            b = np.searchsorted(s_ids_, t["b_id"].to_numpy(zero_copy_only=False))
+            cos = (M_[a] * M_[b]).sum(axis=1) / (n_[a] * n_[b])
+            keep = cos >= threshold
+            return pd.DataFrame(
+                {
+                    "a_id": t["a_id"].to_numpy(zero_copy_only=False)[keep],
+                    "b_id": t["b_id"].to_numpy(zero_copy_only=False)[keep],
+                    "cosine": _duck_round(cos[keep], 6),
+                }
+            )
+
+        return uniq.map_batches(verify_bc, batch_format="pyarrow")
+
     with_a = attach_unique(uniq, vecs, "a_id", id_col, how="inner").map_batches(
         lambda t: t.rename_columns(
             [c if c != vec_col else "__vec_a" for c in t.column_names]

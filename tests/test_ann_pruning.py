@@ -208,3 +208,25 @@ def test_emb_lsh_pairs_query_recall(ray_session, sf_dir):
     assert got <= exact
     if exact:
         assert len(got & exact) / len(exact) >= 0.8, (len(got), len(exact))
+
+
+def test_lsh_dedup_broadcast_and_join_paths_agree(ray_session, sf_dir):
+    """The hybrid verify's two paths (broadcast indexed-dot vs distributed
+    attach joins) must emit identical pairs AND identical rounded cosines
+    (same float expression on both)."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import q_emb_lsh_pairs
+    from crawler_ray.stages import ann as ann_mod
+    from crawler_ray.stages.ann import lsh_dedup_pairs
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    kw = dict(dim=64, threshold=0.35, n_tables=16, n_bits=4)
+    a = (lsh_dedup_pairs(ds, broadcast_rows=10**9, **kw).to_pandas()
+         .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    b = (lsh_dedup_pairs(ds, broadcast_rows=0, **kw).to_pandas()
+         .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert len(a) > 0
