@@ -58,8 +58,8 @@ BENCH_QUERIES = [
     "doc_sample",
     # emb_lsh_pairs is intentionally absent: this corpus' 0.35 pair
     # threshold is WEAK similarity, where banding admits ~60% of all pairs
-    # (18s at sf0.1 — honest-poor pruning, documented in the query's
-    # docstring); its scale showcase is the planted-cluster regime in
+    # (honest-poor pruning, documented in the query's docstring;
+    # ~5s at sf0.1 even with the broadcast verify); its scale showcase is the planted-cluster regime in
     # tests/test_ann_pruning.py.  emb_similar_pairs benches the embedding
     # pair family here.
 ]
