@@ -337,7 +337,7 @@ def lsh_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
-    broadcast_rows: int = 200_000,
+    broadcast_elems: int = 16_000_000,  # rows x dim cap (~128 MB float64)
 ) -> "rd.Dataset":
     """Embedding-cosine near-duplicate PAIRS over the whole corpus via LSH
     banding: signatures -> (band, id) rows -> per-bucket candidate pairs ->
@@ -440,7 +440,8 @@ def lsh_dedup_pairs(
         lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
     ).materialize()
 
-    if vecs.count() <= broadcast_rows:
+    if vecs.count() * dim <= broadcast_elems:  # dim-aware: bounds the
+        # broadcast matrix's bytes, not just its row count
         side = pa.concat_tables(
             ray.get(vecs.to_arrow_refs()), promote_options="default"
         )
@@ -451,16 +452,30 @@ def lsh_dedup_pairs(
         norms = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
         ref = ray.put((s_ids, M, norms))
 
+        def _lookup(s_ids_: np.ndarray, ids: np.ndarray) -> np.ndarray:
+            """searchsorted with membership guard: ids absent from the
+            vector side map to -1 (dropped, matching the join path's
+            inner-join semantics instead of indexing a wrong row)."""
+            pos = np.searchsorted(s_ids_, ids)
+            pos[pos >= len(s_ids_)] = 0 if len(s_ids_) else 0
+            ok = len(s_ids_) > 0
+            hit = (s_ids_[pos] == ids) if ok else np.zeros(len(ids), bool)
+            return np.where(hit, pos, -1)
+
         def verify_bc(t: pa.Table) -> pd.DataFrame:
             s_ids_, M_, n_ = ray.get(ref)
-            a = np.searchsorted(s_ids_, t["a_id"].to_numpy(zero_copy_only=False))
-            b = np.searchsorted(s_ids_, t["b_id"].to_numpy(zero_copy_only=False))
+            a_ids = t["a_id"].to_numpy(zero_copy_only=False)
+            b_ids = t["b_id"].to_numpy(zero_copy_only=False)
+            a = _lookup(s_ids_, a_ids)
+            b = _lookup(s_ids_, b_ids)
+            present = (a >= 0) & (b >= 0)
+            a, b = a[present], b[present]
             cos = (M_[a] * M_[b]).sum(axis=1) / (n_[a] * n_[b])
             keep = cos >= threshold
             return pd.DataFrame(
                 {
-                    "a_id": t["a_id"].to_numpy(zero_copy_only=False)[keep],
-                    "b_id": t["b_id"].to_numpy(zero_copy_only=False)[keep],
+                    "a_id": a_ids[present][keep],
+                    "b_id": b_ids[present][keep],
                     "cosine": _duck_round(cos[keep], 6),
                 }
             )

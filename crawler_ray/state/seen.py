@@ -127,8 +127,9 @@ class CuckooFilter:
         # key whose alternate bucket for that fp is exactly i — stash it so
         # no previously-inserted key is ever forgotten, then report
         # saturation (False -> the caller grows a new filter)
-        self.stash.add((i, fp))
-        self.count += 1
+        if (i, fp) not in self.stash:
+            self.stash.add((i, fp))
+            self.count += 1
         return False
 
     def add_batch(self, hv: np.ndarray) -> np.ndarray:
@@ -370,7 +371,7 @@ class SeenShard:
             # vectorized: batch membership across all filters, then insert
             # only first occurrences (duplicates within one batch must get
             # False, matching the scalar first-wins semantics)
-            hv = hex16_batch(np.asarray(hashes, dtype=object))
+            hv = hex16_batch(hashes)
             seen_mask = np.zeros(len(hv), dtype=bool)
             for g in self._gens:
                 for f in g.filters:

@@ -216,17 +216,15 @@ def test_lsh_dedup_broadcast_and_join_paths_agree(ray_session, sf_dir):
     (same float expression on both)."""
     import pandas as pd
 
-    from crawler_ray.pipelines.queries import q_emb_lsh_pairs
-    from crawler_ray.stages import ann as ann_mod
     from crawler_ray.stages.ann import lsh_dedup_pairs
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     kw = dict(dim=64, threshold=0.35, n_tables=16, n_bits=4)
-    a = (lsh_dedup_pairs(ds, broadcast_rows=10**9, **kw).to_pandas()
+    a = (lsh_dedup_pairs(ds, broadcast_elems=10**12, **kw).to_pandas()
          .sort_values(["a_id", "b_id"]).reset_index(drop=True))
-    b = (lsh_dedup_pairs(ds, broadcast_rows=0, **kw).to_pandas()
+    b = (lsh_dedup_pairs(ds, broadcast_elems=0, **kw).to_pandas()
          .sort_values(["a_id", "b_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_like=True)
     assert len(a) > 0
