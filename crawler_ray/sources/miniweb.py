@@ -116,21 +116,35 @@ class MiniWeb:
         return words
 
     def doc_body_paragraphs(self, host: str, n: int) -> list[str]:
-        """Detail-page paragraphs, with exact/near-dup structure."""
-        if self.dup_every and n % self.dup_every == 0 and n >= self.dup_every:
-            return self.doc_body_paragraphs(host, n - self.dup_every)
-        if (
-            self.near_dup_every
-            and n % self.near_dup_every == 0
-            and n >= self.near_dup_every
-        ):
-            paras = self.doc_body_paragraphs(host, n - self.near_dup_every)
-            # perturb one word of the last paragraph -> near duplicate
-            words = paras[-1].split()
-            words[-1] = self.vocab[n % len(self.vocab)]
-            return paras[:-1] + [" ".join(words)]
+        """Detail-page paragraphs, with exact/near-dup structure.
+
+        Iterative chain resolution (the recursive form blew the Python
+        recursion limit at ~17k docs: chain depth = n / dup_every): walk
+        the dup/near-dup chain down to its base doc, then replay the
+        near-dup perturbations from the base outward — byte-identical to
+        the recursion's deepest-first application order."""
+        perturb: list[int] = []
+        while True:
+            if self.dup_every and n % self.dup_every == 0 and n >= self.dup_every:
+                n -= self.dup_every
+                continue
+            if (
+                self.near_dup_every
+                and n % self.near_dup_every == 0
+                and n >= self.near_dup_every
+            ):
+                perturb.append(n)
+                n -= self.near_dup_every
+                continue
+            break
         words = self._doc_words(host, n)
-        return [" ".join(words[i : i + 15]) for i in range(0, len(words), 15)]
+        paras = [" ".join(words[i : i + 15]) for i in range(0, len(words), 15)]
+        for pn in reversed(perturb):
+            # perturb one word of the last paragraph -> near duplicate
+            w = paras[-1].split()
+            w[-1] = self.vocab[pn % len(self.vocab)]
+            paras = paras[:-1] + [" ".join(w)]
+        return paras
 
     def is_flaky(self, host: str, n: int) -> bool:
         return bool(self.flaky_every) and n % self.flaky_every == self.flaky_every - 1
