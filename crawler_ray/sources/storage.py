@@ -60,12 +60,26 @@ def read_table(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-def write_dataset(ds, path: str) -> str:
-    """Write a ray.data.Dataset as a dataset directory (streaming)."""
-    if HAVE_LANCE and hasattr(ds, "write_lance"):
-        ds.write_lance(path)
-    else:
-        ds.write_parquet(path)
+def write_dataset(ds, path: str, skip_existing: bool = False) -> str:
+    """Write a ray.data.Dataset as a dataset directory (streaming), under
+    the module's resumable contract: blocks stream into a temp dir that is
+    renamed into place LAST, so a crashed write never leaves a
+    partial-but-visible partition, and ``skip_existing=True`` makes reruns
+    skip completed partitions (directory presence == completeness)."""
+    if skip_existing and os.path.isdir(path):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        if HAVE_LANCE and hasattr(ds, "write_lance"):
+            ds.write_lance(tmp)
+        else:
+            ds.write_parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
