@@ -181,3 +181,31 @@ def test_distributed_selection_allows_rps_with_global_cap(ray_session):
         record_history=True,
     ).run()
     assert g.seen == res.seen
+
+
+def test_connections_never_bypass_rps_pacing():
+    """With wall-clock rps politeness set, fetch connection waves must
+    collapse to 1 — a wave of C sharing one RTT would multiply the host's
+    effective request rate by C past the politeness contract."""
+    import time
+
+    import pyarrow as pa
+
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.fetch import SyntheticFetcher
+
+    web = MiniWeb(n_docs=24, n_hosts=1)
+    host = web.hosts()[0]
+    urls = [f"https://{host}/doc/{i}" for i in range(1, 13)]
+    batch = pa.table(
+        {"url": urls, "retry_count": pa.array([0] * 12, type=pa.int32()),
+         "host": [host] * 12}
+    )
+    # burst 1 + 10 rps => 12 requests need >= ~1.1 s regardless of conns
+    f = SyntheticFetcher(web, requests_per_second=10, burst=1,
+                         net_latency_sec=0.0, connections=8)
+    t0 = time.monotonic()
+    out = f(batch)
+    wall = time.monotonic() - t0
+    assert len(out) == 12
+    assert wall >= 1.0, f"rps contract bypassed: wall={wall:.2f}s"
