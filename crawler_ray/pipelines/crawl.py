@@ -291,10 +291,14 @@ class CrawlEngine:
                                             # the reference's 30 async HTTP
                                             # clients on one asyncio loop
                                             # (PRD MAX_HTTP_WORKERS=30).
-                                            # Applies to budget-politeness
-                                            # mode only; wall-clock rps
-                                            # pacing keeps strictly
-                                            # sequential per-host requests.
+                                            # Waves apply whenever wall-clock
+                                            # rps pacing is OFF: pure budget
+                                            # mode AND global-window mode
+                                            # (waves stay inside granted
+                                            # windows, so the aggregate cap
+                                            # holds).  requests_per_second
+                                            # forces sequential per-host
+                                            # requests.
     ) -> None:
         self.web = web
         self.budget = budget_per_host

@@ -45,13 +45,31 @@ def write_table(table: pa.Table, path: str) -> str:
             lance.write_dataset(table, tmp, mode="overwrite")
         else:
             pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_into_place(tmp, path)
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def _swap_into_place(tmp: str, path: str) -> None:
+    """Replace ``path`` with ``tmp`` without a window where neither is a
+    complete directory: the old version is renamed ASIDE (not deleted)
+    before the new one moves in, so a crash at any instant leaves either
+    the old complete partition, the new complete partition, or the new one
+    plus a removable ``.old-*`` remnant — never nothing."""
+    aside = None
+    if os.path.isdir(path):
+        aside = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.replace(path, aside)
+    try:
+        os.replace(tmp, path)
+    except BaseException:
+        if aside is not None and not os.path.isdir(path):
+            os.replace(aside, path)  # roll the old version back into place
+        raise
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
 
 
 def read_table(path: str) -> pa.Table:
@@ -74,9 +92,7 @@ def write_dataset(ds, path: str, skip_existing: bool = False) -> str:
             ds.write_lance(tmp)
         else:
             ds.write_parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_into_place(tmp, path)
     finally:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp, ignore_errors=True)

@@ -225,6 +225,43 @@ def _kmeans(X: np.ndarray, k: int, iters: int = 8, seed: int = 7) -> np.ndarray:
     return C
 
 
+def expand_ivf_candidates(
+    assign: np.ndarray,
+    ids: np.ndarray,
+    Xn: np.ndarray,
+    p_lists: np.ndarray,
+    p_qis: np.ndarray,
+    q_ids: np.ndarray,
+    Qn: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Loop-free (row, probing-query) expansion for IVF candidate emission.
+
+    ``p_lists`` (sorted list ids) / ``p_qis`` (query index per entry) form a
+    CSR-style inverted probe table; each corpus row expands to the
+    contiguous run of probe entries matching its list assignment, self
+    matches drop, and scores come from ONE batched row-wise dot
+    (``einsum``) instead of per-pair Python floats.  Returns
+    ``(query_idx, row_idx, cosine)`` arrays.
+    """
+    lo = np.searchsorted(p_lists, assign, side="left")
+    hi = np.searchsorted(p_lists, assign, side="right")
+    counts = hi - lo
+    rows = np.repeat(np.arange(len(ids)), counts)
+    if len(rows) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    # offsets within each row's run -> absolute probe-entry indices
+    starts = np.repeat(lo, counts)
+    step = np.arange(len(rows)) - np.repeat(
+        np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+    )
+    qi = p_qis[starts + step]
+    self_mask = ids[rows] != q_ids[qi]
+    rows, qi = rows[self_mask], qi[self_mask]
+    scores = np.einsum("ij,ij->i", Xn[rows], Qn[qi])
+    return qi, rows, scores
+
+
 def ivf_topk(
     ds: "rd.Dataset",
     query_ids: np.ndarray,
@@ -249,31 +286,30 @@ def ivf_topk(
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]     # [n_q, n_probe]
-    probed_by_list: dict[int, list[int]] = {}
-    for qi in range(len(query_ids)):
-        for lst in probes[qi]:
-            probed_by_list.setdefault(int(lst), []).append(qi)
-    ref = ray.put((Cn, probed_by_list, query_ids, Qn))
+    # invert probes into a flat CSR-style (list -> query indices) layout so
+    # the per-batch expansion below is pure sort/searchsorted — no Python
+    # loop over rows (the LSH twin, lsh_candidate_pairs, uses the same shape)
+    flat_lists = probes.ravel().astype(np.int64)               # [n_q*n_probe]
+    flat_qis = np.repeat(np.arange(len(query_ids), dtype=np.int64), n_probe)
+    order = np.argsort(flat_lists, kind="stable")
+    probe_lists = flat_lists[order]          # sorted list ids
+    probe_qis = flat_qis[order]              # query index per entry
+    ref = ray.put((Cn, probe_lists, probe_qis, query_ids, Qn))
 
     def candidates(t: pa.Table) -> pa.Table:
-        Cn_, probed, q_ids, Qn_ = ray.get(ref)
+        Cn_, p_lists, p_qis, q_ids, Qn_ = ray.get(ref)
         X = _matrix(t)
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        ids = np.asarray(t[id_col].to_pylist())
-        assign = (Xn @ Cn_.T).argmax(1)
-        out_q, out_n, out_c = [], [], []
-        for row, lst in enumerate(assign):
-            for qi in probed.get(int(lst), ()):
-                if ids[row] == q_ids[qi]:
-                    continue
-                out_q.append(q_ids[qi])
-                out_n.append(ids[row])
-                out_c.append(float(Xn[row] @ Qn_[qi]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = (Xn @ Cn_.T).argmax(1).astype(np.int64)
+        qi, rows, scores = expand_ivf_candidates(
+            assign, ids, Xn, p_lists, p_qis, q_ids, Qn_
+        )
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cosine_raw": pa.array(out_c, type=pa.float64()),
+                "query_id": pa.array(q_ids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[rows], type=pa.int64()),
+                "cosine_raw": pa.array(scores, type=pa.float64()),
             }
         )
 
@@ -457,7 +493,9 @@ def lsh_dedup_pairs(
             vector side map to -1 (dropped, matching the join path's
             inner-join semantics instead of indexing a wrong row)."""
             pos = np.searchsorted(s_ids_, ids)
-            pos[pos >= len(s_ids_)] = 0 if len(s_ids_) else 0
+            # clamp out-of-range positions to a valid index; the membership
+            # compare below rejects them (the clamped row never matches)
+            pos[pos >= len(s_ids_)] = 0
             ok = len(s_ids_) > 0
             hit = (s_ids_[pos] == ids) if ok else np.zeros(len(ids), bool)
             return np.where(hit, pos, -1)

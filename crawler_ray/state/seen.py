@@ -247,40 +247,64 @@ def hex16_batch(hashes) -> np.ndarray:
     return val
 
 
-def hex16_from_arrow(arr: "pa.Array") -> np.ndarray:
-    """:func:`hex16_batch` straight off an Arrow string array's buffers —
-    the object-dtype cast of ``np.asarray(strings, 'S16')`` costs ~6 s/M
-    rows, the buffer gather ~30 ms/M.  Processes per chunk (never
-    ``combine_chunks``, which overflows int32 offsets past 2 GiB of
-    hashes); falls back per chunk when any value is shorter than 16 code
-    units (only crafted test fixtures are)."""
+def hexn_from_arrow(arr: "pa.Array", width: int = 16) -> np.ndarray:
+    """Vectorized ``int(h[:width], 16)`` straight off an Arrow string
+    array's buffers — the object-dtype cast of ``np.asarray(strings,
+    'S16')`` costs ~6 s/M rows, the buffer gather ~30 ms/M.  Processes per
+    chunk (never ``combine_chunks``, which overflows int32 offsets past
+    2 GiB of hashes); handles both ``string`` (int32 offsets) and
+    ``large_string`` (int64 offsets) — anything else raises rather than
+    silently misdecoding; falls back per chunk when any value is shorter
+    than ``width`` code units (only crafted test fixtures are)."""
     chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
     parts = []
     for c in chunks:
         n = len(c)
         if n == 0:
             continue
-        offsets = np.frombuffer(c.buffers()[1], dtype=np.int32)[
+        if pa.types.is_string(c.type):
+            off_dtype = np.int32
+        elif pa.types.is_large_string(c.type):
+            off_dtype = np.int64
+        else:
+            raise TypeError(
+                f"hexn_from_arrow expects string/large_string, got {c.type}"
+            )
+        offsets = np.frombuffer(c.buffers()[1], dtype=off_dtype)[
             c.offset : c.offset + n + 1
         ].astype(np.int64)
         lens = offsets[1:] - offsets[:-1]
-        if (lens < 16).any():
-            parts.append(hex16_batch(c.to_pandas().to_numpy(dtype=object)))
+        if (lens < width).any():
+            vals = c.to_pandas().to_numpy(dtype=object)
+            if width == 16:
+                parts.append(hex16_batch(vals))
+            else:
+                parts.append(
+                    np.array(
+                        [int(str(v)[:width], 16) for v in vals],
+                        dtype=np.uint64,
+                    )
+                )
             continue
         data = np.frombuffer(c.buffers()[2], dtype=np.uint8)
         if (lens == lens[0]).all():
             # fixed-length hashes (the real case: 64-hex sha256): a
             # contiguous reshape replaces the fancy-index gather entirely
             L = int(lens[0])
-            view = data[offsets[0] : offsets[0] + n * L].reshape(n, L)[:, :16]
+            view = data[offsets[0] : offsets[0] + n * L].reshape(n, L)[:, :width]
             nib = _HEX_LUT8[view]
         else:
-            idx = offsets[:-1, None] + np.arange(16)
+            idx = offsets[:-1, None] + np.arange(width)
             nib = _HEX_LUT8[data[idx]]
         parts.append(_fold_nibbles(nib))
     if not parts:
         return np.zeros(0, dtype=np.uint64)
     return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def hex16_from_arrow(arr: "pa.Array") -> np.ndarray:
+    """:func:`hexn_from_arrow` at the cuckoo key width (first 16 nibbles)."""
+    return hexn_from_arrow(arr, 16)
 
 
 def shard_of(url_hash: str, n_shards: int) -> int:
