@@ -30,6 +30,8 @@ since the previous drain, which the engine writes per round.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -460,6 +462,52 @@ class SeenShard:
         self._new_since_drain = []
         return n
 
+    def write_delta(self, path: str) -> int:
+        """Persist (and clear) the hashes added since the last drain as ONE
+        parquet file, written shard-side: at 10^10-URL scale per-round
+        discoveries must never transit the driver, so each shard durably
+        logs its own delta and the driver holds only O(shards) paths.  An
+        EMPTY delta still writes a 0-row file — the file count encodes the
+        writing run's shard count for resume-side rerouting.  Atomic:
+        tmp-file + rename, so a crash mid-write never leaves a torn file."""
+        import pyarrow.parquet as pq_
+
+        out, self._new_since_drain = self._new_since_drain, []
+        tmp = f"{path}.tmp"
+        pq_.write_table(
+            pa.table({"url_hash": pa.array(out, type=pa.string())}), tmp
+        )
+        os.replace(tmp, path)
+        return len(out)
+
+    def load_delta(
+        self, paths: list[str], now: float | None = None,
+        my_index: int | None = None, n_shards: int | None = None,
+    ) -> int:
+        """Bulk-load delta files shard-side (checkpoint resume) — the
+        inverse of :meth:`write_delta`; hash rows never touch the driver.
+
+        With ``my_index``/``n_shards`` set, rows routing to other shards are
+        dropped (vectorized), so a resume with a DIFFERENT shard count can
+        hand every shard the full file list and still end up with exact
+        hash-range ownership."""
+        import pyarrow.parquet as pq_
+
+        total = 0
+        for p in paths:
+            col = pq_.read_table(p, columns=["url_hash"])["url_hash"]
+            if my_index is not None and n_shards is not None:
+                arr = col.to_numpy(zero_copy_only=False)
+                arr = arr[shard_of_batch(arr, n_shards) == my_index]
+                hashes = arr.tolist()
+            else:
+                hashes = col.to_pylist()
+            if hashes:
+                self.seen_and_add(hashes, now)
+                total += len(hashes)
+        self._new_since_drain = []  # loads are not "new" discoveries
+        return total
+
     # ---------------------------------------------------------- offer/resolve
     # Round-local first-wins dedup fused into the shard: tasks OFFER candidate
     # blocks during a round (any arrival order); RESOLVE deterministically
@@ -612,18 +660,61 @@ class ShardedSeen:
         return int(sum(ray.get([s.expire.remote(now) for s in self.shards])))
 
     def add_bulk(self, hashes: list[str], now: float | None = None) -> None:
-        """Bulk insert (checkpoint resume).  With TTL enabled the loaded
-        hashes are stamped at ``now`` — resume time approximates their
-        original insert time (the deltas don't persist stamps)."""
+        """Bulk insert (legacy JSON-delta resume / tests).  With TTL enabled
+        the loaded hashes are stamped at ``now`` — resume time approximates
+        their original insert time (the deltas don't persist stamps).
+        Routing is vectorized; prefer :meth:`load_delta_files` for real
+        resumes (hashes never transit the driver there)."""
         import ray
 
-        by_shard: list[list[str]] = [[] for _ in range(self.n_shards)]
-        for h in hashes:
-            by_shard[shard_of(h, self.n_shards)].append(h)
-        ray.get([
-            self.shards[s].add_bulk.remote(hs, now)
-            for s, hs in enumerate(by_shard) if hs
-        ])
+        if not hashes:
+            return
+        arr = np.asarray(hashes, dtype=object)
+        sh = shard_of_batch(arr, self.n_shards)
+        futs = []
+        for s in range(self.n_shards):
+            part = arr[sh == s]
+            if len(part):
+                futs.append(self.shards[s].add_bulk.remote(part.tolist(), now))
+        if futs:
+            ray.get(futs)
+
+    def write_deltas(self, dir_path: str) -> int:
+        """Per-round seen-delta persistence: every shard writes its OWN
+        parquet file under ``dir_path`` (``shard=K.parquet``), in parallel;
+        returns the total new-hash count.  Driver traffic is O(shards)
+        integers — this replaces the drain_new()-to-JSON round-trip that
+        made checkpointing O(new URLs/round) on the driver."""
+        import ray
+
+        os.makedirs(dir_path, exist_ok=True)
+        return int(sum(ray.get([
+            s.write_delta.remote(os.path.join(dir_path, f"shard={k}.parquet"))
+            for k, s in enumerate(self.shards)
+        ])))
+
+    def load_delta_files(
+        self, files_by_shard: list[list[str]], now: float | None = None,
+        reroute_from: int | None = None,
+    ) -> int:
+        """Resume-side bulk load: shard ``k`` reads its own file list
+        (parallel, shard-side).  When the checkpoint was written with a
+        different shard count, pass every file to every shard with
+        ``reroute_from`` = the WRITER's shard count unused — callers set
+        ``reroute_from`` to this engine's shard count to enable the
+        vectorized ownership filter inside each shard."""
+        import ray
+
+        futs = [
+            s.load_delta.remote(
+                files, now,
+                my_index=(k if reroute_from is not None else None),
+                n_shards=reroute_from,
+            )
+            for k, (s, files) in enumerate(zip(self.shards, files_by_shard))
+            if files
+        ]
+        return int(sum(ray.get(futs))) if futs else 0
 
     def size(self) -> int:
         import ray

@@ -143,3 +143,47 @@ def test_mid_round_cancel_and_resume(ray_session, ckpt_dir):
         (r, h) for r, h, _ in baseline.order
     ]
     assert resumed.pages.count() == baseline.pages.count()
+
+
+def test_frontier_snapshot_buckets_match_scalar_formula(ray_session, tmp_path):
+    """The vectorized bucketizer must reproduce the scalar formula
+    bucket_of(host, salt=int(url_hash[:4],16) % salt_k[host]) row-for-row,
+    including mega-host salting, on a skewed web."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.crawl import CrawlEngine, bucket_of
+
+    web = MiniWeb(n_docs=80, n_hosts=3, mega_share=0.8, details_per_list=40)
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        web, budget_per_host=1, max_rounds=3, seen_shards=2,
+        checkpoint_dir=ck,
+    ).run()
+    checked = salted = 0
+    for rdir in sorted(os.listdir(ck)):
+        fdir = os.path.join(ck, rdir, "frontier")
+        if not os.path.isdir(fdir):
+            continue
+        t = pq.read_table(fdir)
+        if t.num_rows == 0:
+            continue
+        # recompute salt_k exactly as _write_frontier_snapshot does
+        counts = {}
+        for h in t["host"].to_pylist():
+            counts[h] = counts.get(h, 0) + 1
+        avg = max(1, sum(counts.values()) // max(1, len(counts)))
+        salt_k = {h: -(-n // avg) for h, n in counts.items() if n > 2 * avg}
+        n_buckets = 8  # max(frontier_blocks=8 default, 8) in the snapshot
+        for host, uh, b in zip(
+            t["host"].to_pylist(), t["url_hash"].to_pylist(),
+            t["bucket"].to_pylist(),
+        ):
+            salt = (int(uh[:4], 16) % salt_k[host]) if host in salt_k else 0
+            if salt:
+                salted += 1
+            assert int(b) == bucket_of(host, n_buckets, salt=salt)
+            checked += 1
+    assert checked > 0
+    assert salted > 0  # the mega-host salting branch really ran
