@@ -1867,7 +1867,7 @@ def _sql_workflow_scrape() -> str:
     from urllib.parse import urljoin
 
     from crawler_ray.functions import html as H
-    from crawler_ray.functions.pagination import detect_pattern
+    from crawler_ray.functions.pagination import StopScan, detect_pattern
     from crawler_ray.functions.selectors import extract_fields
     from crawler_ray.sources.miniweb import MiniWeb
 
@@ -1878,9 +1878,15 @@ def _sql_workflow_scrape() -> str:
     if pattern is not None:
         urls += pattern.pages(seed, max_pages=5)
 
+    # in-order fetch with early stop — the same StopScan semantics the
+    # paginated crawl step runs (reference pagination.py:213-252)
+    scan = StopScan()
     ordered, seen = [], set()
     for url in urls:
         status, body = web.fetch(url, retry_count=0)
+        stop, _reason = scan.check(status, body or "", url)
+        if stop:
+            break
         if status != 200 or not body:
             continue
         spans = H.parse_spans(body)
@@ -1955,7 +1961,7 @@ def _sql_workflow_api() -> str:
     ``web.fetch`` calls (no Ray)."""
     import json
 
-    from crawler_ray.functions.pagination import detect_pattern
+    from crawler_ray.functions.pagination import StopScan, detect_pattern
     from crawler_ray.functions.selectors import extract_fields
     from crawler_ray.sources.miniweb import MiniWeb
 
@@ -1967,9 +1973,13 @@ def _sql_workflow_api() -> str:
     if pattern is not None:
         urls += pattern.pages(seed, max_pages=5)
 
+    scan = StopScan()  # same early-stop semantics as the paginated step
     ordered, seen = [], set()
     for url in urls:
         status, body = web.fetch(url, retry_count=0)
+        stop, _reason = scan.check(status, body or "", url)
+        if stop:
+            break
         if status != 200 or not body:
             continue
         data = json.loads(body)

@@ -44,13 +44,75 @@ import ray.data as rd
 
 from crawler_ray.functions import html as H
 from crawler_ray.functions.conditions import should_run
-from crawler_ray.functions.pagination import detect_pattern, template_pattern
+from crawler_ray.functions.pagination import (
+    StopScan,
+    detect_pattern,
+    template_pattern,
+)
 from crawler_ray.functions.selectors import extract_fields, json_path, json_path_soft
 from crawler_ray.functions.validation import StepValidator, partition_valid_urls
 from crawler_ray.functions.variables import resolve
 from crawler_ray.stages.fetch import SyntheticFetcher
 
 SCRAPE_FETCH_BATCH = 100  # reference scrape gather batch (scrape_executor.py:46)
+
+
+def _pagination_chain(web, urls: list[str], min_content_length: int,
+                      max_empty_responses: int):
+    """Sequential pagination chain with early stop — the reference's
+    ``PaginationService.crawl_with_stop_detection`` loop
+    (``/root/reference/crawler/services/pagination.py:213-252``): pages are
+    fetched strictly IN ORDER; every response runs through the stop
+    detector (404/403/5xx, circular URL, identical content, consecutive
+    near-empty pages); the page that triggers the stop is NOT yielded and
+    no later page is fetched.  The chain's sequential state (StopScan)
+    lives in this one task — SURVEY §7.4: per-chain state never goes in a
+    stateless map.
+
+    Runs as a Ray task with ``num_returns=2``: (meta, yielded-pages Arrow
+    table) — the table stays in the object store for ``from_arrow_refs``.
+    """
+    fetcher = SyntheticFetcher(web)
+    scan = StopScan(min_content_length=min_content_length,
+                    max_empty_responses=max_empty_responses)
+    cols = {"url": [], "host": [], "retry_count": [], "page_idx": [],
+            "status": [], "html": []}
+    fetches = 0
+    stop_reason = ""
+    for i, u in enumerate(urls):
+        host = u.split("/", 3)[2].lower() if "://" in u else ""
+        res = fetcher(pa.table(
+            {
+                "url": pa.array([u], type=pa.string()),
+                "host": pa.array([host], type=pa.string()),
+                "retry_count": pa.array([0], type=pa.int32()),
+                "page_idx": pa.array([i], type=pa.int64()),
+            }
+        ))
+        fetches += 1
+        status = res["status"][0].as_py()
+        html = res["html"][0].as_py() or ""
+        stop, reason = scan.check(status, html, u)
+        if stop:
+            stop_reason = reason
+            break
+        cols["url"].append(u)
+        cols["host"].append(host)
+        cols["retry_count"].append(0)
+        cols["page_idx"].append(i)
+        cols["status"].append(status)
+        cols["html"].append(html)
+    table = pa.table(
+        {
+            "url": pa.array(cols["url"], type=pa.string()),
+            "host": pa.array(cols["host"], type=pa.string()),
+            "retry_count": pa.array(cols["retry_count"], type=pa.int32()),
+            "page_idx": pa.array(cols["page_idx"], type=pa.int64()),
+            "status": pa.array(cols["status"], type=pa.int32()),
+            "html": pa.array(cols["html"], type=pa.string()),
+        }
+    )
+    return {"pages_fetched": fetches, "stop_reason": stop_reason}, table
 
 
 @dataclass
@@ -266,7 +328,30 @@ class WorkflowRunner:
                 }
             )
 
-        fetched = self._fetch_ds(urls)
+        chain_meta = None
+        if pag.get("enabled") and pag.get("stop_detection", True):
+            # in-order pagination with early stop (SURVEY §2.9 contract;
+            # reference services/pagination.py:213-252): ONE sequential
+            # task owns the chain's StopScan state, so a site with 3 real
+            # pages and max_pages=100 costs ~4 fetches, not 100
+            import ray
+
+            meta_ref, tbl_ref = (
+                ray.remote(_pagination_chain)
+                .options(num_returns=2)
+                .remote(
+                    self.web, urls,
+                    int(pag.get("min_content_length", 100)),
+                    int(pag.get("max_empty_responses", 2)),
+                )
+            )
+            chain_meta = ray.get(meta_ref)
+            fetched = rd.from_arrow_refs([tbl_ref])
+        else:
+            # parallel fetch (stop detection disabled / single seed);
+            # materialize so the link pass and the status tally below share
+            # one fetch execution (politeness: never fetch a page twice)
+            fetched = self._fetch_ds(urls).materialize()
         link_fn = extract_links_api if step.method == "api" else extract_links
         links = fetched.map_batches(link_fn, batch_format="pyarrow")
         rows = links.take_all()
@@ -278,14 +363,39 @@ class WorkflowRunner:
             if r["url"] not in seen:
                 seen.add(r["url"])
                 ordered.append(r["url"])
-        out = {
-            link_field: ordered,
-            "_crawl_metadata": {
-                "pages_crawled": len(urls),
-                "total_urls": len(ordered),
-                "duplicate_urls": len(rows) - len(ordered),
-            },
+        # per-page success tally (reference crawl_executor.py:148-171
+        # counts pages_crawled/pages_failed over fetch RESULTS, not the
+        # planned URL list) — bounded by max_pages, blocks already resident
+        def _page_tally(t: pa.Table) -> pa.Table:
+            ok = pc.fill_null(
+                pc.and_(
+                    pc.equal(t["status"], 200),
+                    pc.not_equal(pc.fill_null(t["html"], ""), ""),
+                ),
+                False,
+            )
+            n_ok_ = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+            return pa.table(
+                {
+                    "n": pa.array([len(t)], type=pa.int64()),
+                    "n_ok": pa.array([n_ok_], type=pa.int64()),
+                }
+            )
+
+        tallies = fetched.map_batches(_page_tally, batch_format="pyarrow").take_all()
+        n_pages = sum(r["n"] for r in tallies)
+        n_ok = sum(r["n_ok"] for r in tallies)
+        crawl_meta = {
+            "pages_crawled": n_ok,
+            "pages_failed": n_pages - n_ok,
+            "pages_planned": len(urls),
+            "total_urls": len(ordered),
+            "duplicate_urls": len(rows) - len(ordered),
         }
+        if chain_meta is not None:
+            crawl_meta["pages_fetched"] = chain_meta["pages_fetched"]
+            crawl_meta["stop_reason"] = chain_meta["stop_reason"]
+        out = {link_field: ordered, "_crawl_metadata": crawl_meta}
         # typed output validation (step_validator.py:113-143)
         StepValidator().validate_output(
             step.name, "crawl", {link_field: ordered}, out["_crawl_metadata"]

@@ -311,3 +311,47 @@ def miniweb_for_sf(sf_dir: str) -> MiniWeb:
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     return MiniWeb(n_docs=n)
+
+
+_PAGED_BODY = (
+    "<html><head><title>halaman {n}</title></head><body><main><ul>"
+    + "".join(f'<li><a href="/doc/{{n}}{i}">dokumen</a></li>' for i in range(8))
+    + "</ul>{pad}</main></body></html>"
+)
+_PAGED_PAD = "lorem ipsum " * 20  # keeps real pages past min_content_length
+
+
+@dataclass
+class PagedStubWeb:
+    """A synthetic site whose /list pagination misbehaves in a configurable
+    way — fixture for the early-stop chain semantics (reference
+    ``services/pagination.py:213-252``).
+
+    ``mode``:
+    - ``identical``: pages > real_pages serve page ``real_pages``'s content
+      verbatim (the out-of-range-page-returns-last-page pattern)
+    - ``empty``: pages > real_pages serve 200 with a near-empty body
+    - ``ok404``: pages > real_pages 404 (plain truncation)
+    """
+
+    real_pages: int = 3
+    mode: str = "identical"
+
+    def fetch(self, url: str, retry_count: int = 0) -> tuple[int, str]:
+        from urllib.parse import parse_qs, urlparse
+
+        p = urlparse(url)
+        if p.path == "/robots.txt":
+            return 200, ""
+        if p.path.startswith("/doc/"):
+            return 200, _PAGED_BODY.format(n=p.path, pad=_PAGED_PAD)
+        if p.path != "/list":
+            return 404, ""
+        page = int(parse_qs(p.query).get("page", ["1"])[0])
+        if page <= self.real_pages:
+            return 200, _PAGED_BODY.format(n=page, pad=_PAGED_PAD)
+        if self.mode == "identical":
+            return 200, _PAGED_BODY.format(n=self.real_pages, pad=_PAGED_PAD)
+        if self.mode == "empty":
+            return 200, "<html></html>"
+        return 404, ""

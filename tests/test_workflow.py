@@ -64,7 +64,16 @@ def crawl_scrape_result(ray_session):
 
 def test_crawl_step_outputs(crawl_scrape_result):
     out = crawl_scrape_result["steps"]["daftar"]
-    assert out["_crawl_metadata"]["pages_crawled"] == 3
+    meta = out["_crawl_metadata"]
+    # the mega-host has 15 docs / 10-per-list = 2 real list pages: the
+    # in-order chain fetches p1, p2 (both OK), then p3 404s -> early stop.
+    # pages_crawled counts SUCCESSES (reference crawl_executor.py:148-171),
+    # pages_fetched counts attempts including the stopping page.
+    assert meta["pages_crawled"] == 2
+    assert meta["pages_failed"] == 0
+    assert meta["pages_planned"] == 3
+    assert meta["pages_fetched"] == 3
+    assert "404" in meta["stop_reason"]
     urls = out["urls"]
     assert len(urls) == len(set(urls))  # first-wins distinct
     assert any("/doc/" in u for u in urls)
