@@ -108,6 +108,68 @@ def _empty_frontier() -> pa.Table:
     return pa.table({n: pa.array([], type=t) for n, t in FRONTIER_FIELDS})
 
 
+def _empty_pages_table() -> pa.Table:
+    from crawler_ray.stages.parse import SPAN_TYPE
+
+    return pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "url_hash": pa.array([], type=pa.string()),
+            "host": pa.array([], type=pa.string()),
+            "priority": pa.array([], type=pa.int32()),
+            "score": pa.array([], type=pa.int64()),
+            "discovery_round": pa.array([], type=pa.int32()),
+            "retry_count": pa.array([], type=pa.int32()),
+            "lineage": pa.array([], type=pa.string()),
+            "status": pa.array([], type=pa.int32()),
+            "title": pa.array([], type=pa.string()),
+            "spans": pa.array([], type=SPAN_TYPE),
+            "content_hash": pa.array([], type=pa.string()),
+            "simhash": pa.array([], type=pa.int64()),
+            "round": pa.array([], type=pa.int32()),
+        }
+    )
+
+
+def _empty_failed_table() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "url_hash": pa.array([], type=pa.string()),
+            "host": pa.array([], type=pa.string()),
+            "status": pa.array([], type=pa.int32()),
+            "retry_count": pa.array([], type=pa.int32()),
+            "lineage": pa.array([], type=pa.string()),
+        }
+    )
+
+
+@ray.remote(num_returns=2)
+def _split_page_block(t: pa.Table, rr: int):
+    """Split one materialized parse block into (final-schema page rows,
+    tiny failure rows) in a single task.
+
+    One wave of these per round replaces TWO Dataset executions (the
+    _ok_pages pass and the failure-collection pass) — each execution
+    carries ~0.3-0.5 s of fixed scheduling cost, the dominant per-round
+    overhead once fetch/parse are optimized.  The returned page tables are
+    fresh object-store blocks, so the round's page output no longer pins
+    the raw parse blocks (with their links columns) for the whole crawl."""
+    if "status" not in t.column_names:
+        # Ray Data can pass EMPTY upstream blocks through map_batches
+        # without invoking the UDF, so a zero-row block may still carry the
+        # pre-parse frontier schema — normalize to canonical empties
+        return _empty_pages_table(), _empty_failed_table()
+    ok = t.filter(pc.equal(t["status"], 200))
+    ok = ok.drop_columns(["links", "not_before_round"]).append_column(
+        "round", pa.array([rr] * len(ok), type=pa.int32())
+    )
+    failed = t.filter(pc.not_equal(t["status"], 200)).select(
+        ["url", "url_hash", "host", "status", "retry_count", "lineage"]
+    )
+    return ok, failed
+
+
 def _threshold_mask(t: pa.Table, thr: tuple[dict, dict], rr: int) -> pa.Array:
     """Vectorized per-row "is selected" mask from broadcast per-host
     thresholds: runnable AND (score, url_hash) <= (cut_score, cut_hash).
@@ -777,28 +839,25 @@ class CrawlEngine:
                 # seen set from COMMITTED deltas only (fresh actors)
                 break
 
-            def _ok_pages(t: pa.Table, rr=rr) -> pa.Table:
-                ok = t.filter(pc.equal(t["status"], 200))
-                ok = ok.drop_columns(["links", "not_before_round"])
-                return ok.append_column("round", pa.array([rr] * len(ok), type=pa.int32()))
-
-            pages_round = parsed.map_batches(_ok_pages, batch_format="pyarrow")
-            if self.checkpoint_dir:
-                # pin once: the emptiness check and the parquet write below
-                # would otherwise each re-execute the _ok_pages stage
-                pages_round = pages_round.materialize()
-
-            # --- failures: a cheap filter over the materialized parsed ----
-            # (link offers already happened inside the parse execution)
-            def _collect_failed(t: pa.Table) -> pa.Table:
-                return t.filter(pc.not_equal(t["status"], 200)).select(
-                    ["url", "url_hash", "host", "status", "retry_count", "lineage"]
-                )
+            # --- split pages / failures in ONE task wave over the resident
+            # parse blocks (no further Dataset executions this round): page
+            # blocks come back as fresh object-store tables -> pages_round
+            # is ALREADY materialized (the end-of-crawl union never re-runs
+            # per-round lineage), failures are budget-bounded small
+            split_refs = [
+                _split_page_block.remote(ref, rr)
+                for ref in parsed.to_arrow_refs()
+            ]
+            page_refs = [s[0] for s in split_refs]
+            failed_refs = [s[1] for s in split_refs]
+            pages_round = rd.from_arrow_refs(page_refs)
 
             if self.selection == "driver":
-                failed_rows = parsed.map_batches(
-                    _collect_failed, batch_format="pyarrow"
-                ).take_all()
+                failed_tbls = [t for t in ray.get(failed_refs) if len(t)]
+                failed_rows = (
+                    pa.concat_tables(failed_tbls).to_pylist()
+                    if failed_tbls else []
+                )
                 self._driver_rows += len(failed_rows)
                 n_failed = len(failed_rows)
                 tt = self._t('failed', tt)
@@ -841,11 +900,9 @@ class CrawlEngine:
                 )
             else:
                 # scale path: failures stay distributed; retry/DLQ
-                # classification are vectorized Arrow passes over the (small,
-                # materialized) failed set
-                failed_ds = parsed.map_batches(
-                    _collect_failed, batch_format="pyarrow"
-                ).materialize()
+                # classification are vectorized Arrow passes over the (small)
+                # failed blocks the split wave already produced
+                failed_ds = rd.from_arrow_refs(failed_refs)
                 n_failed = failed_ds.count()
                 n_selected = parsed.count()
                 tt = self._t('failed', tt)
@@ -888,15 +945,12 @@ class CrawlEngine:
             # grows blocks every round (exponential scheduling overhead) —
             # but the repartition all-to-all has its own ~0.5 s fixed cost,
             # so only coalesce once the count drifts past 4x the target
-            frontier_ds = (
-                rest
-                .union(retries_ds)
-                .union(new_ds)
-                .map_batches(
-                    lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
-                    batch_format="pyarrow",
-                )
-            )
+            # no post-union select/cast stage: every branch is already
+            # FRONTIER_SCHEMA at its source (rest = filter of a conformant
+            # frontier; retries cast in _retry_frontier_rows / from_pylist;
+            # winners cast shard-side in resolve_block) — the extra map was
+            # a whole per-round stage over every block
+            frontier_ds = rest.union(retries_ds).union(new_ds)
             if n_frontier_blocks + 1 + self.seen.n_shards > 4 * self.frontier_blocks:
                 frontier_ds = frontier_ds.repartition(self.frontier_blocks)
 
@@ -947,27 +1001,7 @@ class CrawlEngine:
             # zero rounds executed (e.g. every seed robots-blocked): an
             # empty Dataset with the pages schema keeps downstream dedup /
             # writes total instead of crashing on None
-            from crawler_ray.stages.parse import SPAN_TYPE
-
-            empty_pages = pa.table(
-                {
-                    "url": pa.array([], type=pa.string()),
-                    "url_hash": pa.array([], type=pa.string()),
-                    "host": pa.array([], type=pa.string()),
-                    "priority": pa.array([], type=pa.int32()),
-                    "score": pa.array([], type=pa.int64()),
-                    "discovery_round": pa.array([], type=pa.int32()),
-                    "retry_count": pa.array([], type=pa.int32()),
-                    "lineage": pa.array([], type=pa.string()),
-                    "status": pa.array([], type=pa.int32()),
-                    "title": pa.array([], type=pa.string()),
-                    "spans": pa.array([], type=SPAN_TYPE),
-                    "content_hash": pa.array([], type=pa.string()),
-                    "simhash": pa.array([], type=pa.int64()),
-                    "round": pa.array([], type=pa.int32()),
-                }
-            )
-            pages = rd.from_arrow(empty_pages)
+            pages = rd.from_arrow(_empty_pages_table())
         return CrawlResult(
             pages=pages,
             order=order,
