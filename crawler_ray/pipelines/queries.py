@@ -2205,39 +2205,77 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_SKETCH_SAMPLE_K = 2048
+
+
 def q_price_quantiles_sketch(sf_dir: str):
     """Approximate percentiles over an UNBOUNDED domain (l_extendedprice is
     near-unique, so the exact counting-histogram path would shuffle O(N)
-    rows) via mergeable KLL-style rank sketches: one ~2 KB sketch per batch,
-    merged in a tiny final stage — rows-only (approximate by design);
-    accuracy asserted in tests/test_sketch.py (rank error <= 2%)."""
-    from crawler_ray.functions.sketch import RankSketch
-
-    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    rows) via a DETERMINISTIC mergeable sampling sketch: bottom-k rows by
+    md5(row key).  Bottom-k is a proper monoid (bottom-k of a union ==
+    bottom-k of per-part bottom-ks), so the estimate is a pure function of
+    the DATA — independent of batching, merge order and parallelism —
+    unlike KLL compaction, whose output depends on insertion/merge order.
+    That determinism is what makes this sketch ORACLE-able: DuckDB
+    recomputes the identical sample with ORDER BY md5(key) LIMIT k.
+    Per-batch state is <= k (hash, value) pairs (~64 KB); the merge stage
+    sees k rows per upstream batch, not O(N).  (The KLL-style RankSketch in
+    functions/sketch.py remains the lower-memory alternative; its rank
+    error is bound-tested in tests/test_sketch.py.)"""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    k = _SKETCH_SAMPLE_K
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        sk = RankSketch(k=256)
-        sk.add(df["l_extendedprice"].to_numpy(np.float64))
+        keys = np.array(
+            [
+                hashlib.md5(f"{o}-{l}".encode()).hexdigest()
+                for o, l in zip(df["l_orderkey"], df["l_linenumber"])
+            ],
+            dtype=object,
+        )
+        vals = df["l_extendedprice"].to_numpy(np.float64)
+        if len(keys) > k:
+            idx = np.argsort(keys, kind="stable")[:k]
+            keys, vals = keys[idx], vals[idx]
         return pa.table(
-            {"g": pa.array([0], type=pa.int32()),
-             "sketch": pa.array([sk.to_bytes()], type=pa.binary())}
+            {
+                "g": pa.array([0] * len(keys), type=pa.int32()),
+                "key": pa.array(keys.tolist(), type=pa.string()),
+                "val": pa.array(vals, type=pa.float64()),
+            }
         )
 
     def merge(df: pd.DataFrame) -> pa.Table:
-        sk = RankSketch.from_bytes(df["sketch"].iloc[0])
-        for blob in df["sketch"].iloc[1:]:
-            sk.merge(RankSketch.from_bytes(blob))
-        vals = sk.quantiles(_QUANTILE_QS)
+        d = df.sort_values("key", kind="mergesort").head(k)
+        vals = np.quantile(
+            d["val"].to_numpy(np.float64), _QUANTILE_QS, method="linear"
+        )
         return pa.table(
             {"q": pa.array(_QUANTILE_QS, type=pa.float64()),
-             "val": pa.array(vals, type=pa.float64())}
+             "val": pa.array(duck_round(vals, 6), type=pa.float64())}
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
         .groupby("g")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+SQL_PRICE_QUANTILES_SKETCH = f"""
+SELECT q, ROUND(val, 6) AS val FROM (
+  SELECT unnest([{', '.join(str(q) for q in _QUANTILE_QS)}]) AS q,
+         unnest(quantile_cont(l_extendedprice,
+                [{', '.join(str(q) for q in _QUANTILE_QS)}])) AS val
+  FROM (
+    SELECT l_extendedprice FROM lineitem
+    ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR))
+    LIMIT {_SKETCH_SAMPLE_K}
+  )
+)
+"""
 
 
 # Stratified sampling tiers: per-source percentage kept (unknown sources
@@ -2388,9 +2426,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ann_lsh": _sql_knn_ann_lsh(),
         "knn_ann_ivf": _sql_knn_ann_ivf(),
         "emb_lsh_pairs": _sql_emb_lsh_pairs(),
-        # price_quantiles_sketch is the ONE registry entry without an
-        # oracle: RankSketch compaction depends on merge order (unlike
-        # HLL's commutative max), so the estimate is not a pure function
-        # of the data across parallelism levels — accuracy is asserted
-        # by rank-error bound instead (tests/test_sketch.py).
+        # approximate-by-design but DETERMINISTIC (bottom-k-by-hash
+        # sampling sketch is a pure function of the data): DuckDB
+        # recomputes the identical sample, closing the last no_oracle row
+        "price_quantiles_sketch": SQL_PRICE_QUANTILES_SKETCH,
     }
