@@ -497,16 +497,25 @@ class CrawlEngine:
         df = df.groupby("host", sort=False).head(self.budget)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def _host_threshold(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Per-host selection cutoff: the B-th smallest (score, url_hash)
-        among that host's partial winners (distributed-selection mode)."""
-        df = df.sort_values(["score", "url_hash"], kind="mergesort")
-        last = df.iloc[min(self.budget, len(df)) - 1]
+    def _bucket_thresholds(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Per-host selection cutoffs for one HOST-HASH BUCKET: for every
+        host in the bucket, the B-th smallest (score, url_hash) among its
+        partial winners (distributed-selection mode).
+
+        Grouping by hash bucket instead of by host keeps the group count at
+        O(CPUs), not O(hosts): Ray's map_groups pays ~1-2 ms per group, so
+        a million-host frontier through groupby(host) would spend ~30 min
+        per round on group dispatch alone (measured by
+        probes/million_host_probe.py); inside a bucket the per-host cutoff
+        is one vectorized pandas groupby."""
+        df = df.sort_values(["host", "score", "url_hash"], kind="mergesort")
+        top = df.groupby("host", sort=False).head(self.budget)
+        last = top.groupby("host", sort=False).tail(1)
         return pd.DataFrame(
             {
-                "host": [last["host"]],
-                "cut_score": [int(last["score"])],
-                "cut_hash": [last["url_hash"]],
+                "host": last["host"].to_numpy(),
+                "cut_score": last["score"].astype("int64").to_numpy(),
+                "cut_hash": last["url_hash"].to_numpy(),
             }
         )
 
@@ -514,7 +523,7 @@ class CrawlEngine:
     def run(
         self,
         start_round: int = 0,
-        frontier: pa.Table | None = None,
+        frontier: pa.Table | rd.Dataset | None = None,
         prior_order: list | None = None,
         prior_metrics: list | None = None,
         prior_pages: list | None = None,
@@ -539,9 +548,14 @@ class CrawlEngine:
             self._last_expire = self.clock()
             self.seen.expire(self._last_expire)
 
-        frontier_ds = rd.from_arrow(
-            frontier if frontier is not None else self._seed_frontier()
-        )
+        if frontier is None:
+            frontier_ds = rd.from_arrow(self._seed_frontier())
+        elif isinstance(frontier, rd.Dataset):
+            # scale path: a resume snapshot / synthetic frontier streams in
+            # as distributed blocks and never materializes on the driver
+            frontier_ds = frontier
+        else:
+            frontier_ds = rd.from_arrow(frontier)
         order: list[tuple[int, str, str]] = (
             list(prior_order or []) if self.record_history else []
         )
@@ -600,14 +614,41 @@ class CrawlEngine:
                 tt = self._t('partial_sel', tt)
                 round_empty = not partial_rows
             else:
-                thr_rows = (
-                    partial.groupby("host")
-                    .map_groups(self._host_threshold, batch_format="pandas")
-                    .take_all()
+                n_buckets_sel = max(8, 4 * self._ncpus)
+
+                def _add_hbucket(df: pd.DataFrame, P=n_buckets_sel) -> pd.DataFrame:
+                    # deterministic (fixed-key siphash) host bucketing so
+                    # the shuffle has O(CPUs) groups, never O(hosts)
+                    df = df.copy()
+                    df["hbucket"] = (
+                        pd.util.hash_array(df["host"].to_numpy(object)) % P
+                    ).astype("int64")
+                    return df
+
+                # collect thresholds as ARROW blocks, not take_all rows:
+                # row-by-row conversion costs ~1 ms/row, i.e. ~17 min for a
+                # million-host threshold table
+                thr_tbl = pa.concat_tables(
+                    [
+                        t for t in ray.get(
+                            partial.map_batches(
+                                _add_hbucket, batch_format="pandas"
+                            )
+                            .groupby("hbucket")
+                            .map_groups(
+                                self._bucket_thresholds, batch_format="pandas"
+                            )
+                            .to_arrow_refs()
+                        )
+                        if len(t)
+                    ]
+                    or [pa.table({"host": pa.array([], pa.string()),
+                                  "cut_score": pa.array([], pa.int64()),
+                                  "cut_hash": pa.array([], pa.string())})]
                 )
-                self._driver_rows += len(thr_rows)
+                self._driver_rows += len(thr_tbl)
                 tt = self._t('threshold_sel', tt)
-                round_empty = not thr_rows
+                round_empty = len(thr_tbl) == 0
             if round_empty:
                 # everything runnable is deferred by retry backoff:
                 # fast-forward the round clock to the earliest wake-up
@@ -653,9 +694,10 @@ class CrawlEngine:
                     batch_format="pyarrow",
                 )
             else:
+                thr_hosts = thr_tbl["host"].to_pylist()
                 thr = (
-                    {d["host"]: d["cut_score"] for d in thr_rows},
-                    {d["host"]: d["cut_hash"] for d in thr_rows},
+                    dict(zip(thr_hosts, thr_tbl["cut_score"].to_pylist())),
+                    dict(zip(thr_hosts, thr_tbl["cut_hash"].to_pylist())),
                 )
                 thr_ref = ray.put(thr)
                 n_selected = None  # known after the parse materialization
@@ -1252,10 +1294,15 @@ class CrawlEngine:
                     seen_all.extend(pq.read_table(p)["url_hash"].to_pylist())
             for p in reroute_files:
                 seen_all.extend(pq.read_table(p)["url_hash"].to_pylist())
-        frontier_tbl = pq.read_table(snap).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
+        # stream the snapshot as distributed blocks (one per bucket file):
+        # a 10^10-URL frontier must never materialize on the driver
+        frontier_ds = rd.read_parquet(snap, columns=FRONTIER_COLS).map_batches(
+            lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+            batch_format="pyarrow",
+        )
         return engine.run(
             start_round=start,
-            frontier=frontier_tbl,
+            frontier=frontier_ds,
             prior_order=order,
             prior_metrics=metrics,
             prior_pages=pages,
