@@ -185,3 +185,20 @@ class StopScan:
         self.seen_hashes.clear()
         self.seen_urls.clear()
         self.consecutive_empty = 0
+
+
+def pagination_strategy(seed_url: str, pag: dict | None) -> str:
+    """Which pagination strategy a crawl step will use — reference
+    ``PaginationService.get_pagination_strategy``
+    (``services/pagination.py:292-316``): "disabled" | "template" |
+    "auto_detected" | "selector"."""
+    pag = pag or {}
+    if not pag.get("enabled"):
+        return "disabled"
+    if pag.get("url_template"):
+        return "template"
+    if detect_pattern(seed_url) is not None:
+        return "auto_detected"
+    if pag.get("selector"):
+        return "selector"
+    return "disabled"

@@ -682,17 +682,29 @@ class CrawlEngine:
                 ).select(FRONTIER_COLS).cast(FRONTIER_SCHEMA)
                 order_meta = [(r, d["url_hash"], d["url"]) for d in sel_rows]
 
+                if n_selected == n_frontier:
+                    # the whole frontier was selected (common in small
+                    # crawls / early rounds): skip the anti-join re-filter,
+                    # a whole per-round stage over every block
+                    rest = rd.from_arrow(_empty_frontier())
+                    sel_set_ref = None
+                else:
+                    sel_set_ref = ray.put(
+                        pa.array(sel_df["url_hash"], type=pa.string())
+                    )
                 # everything not fetched this round stays in the frontier
                 # (deferred-by-backoff rows and unselected candidates alike);
                 # the selected hash set ships ONCE via the object store and
                 # the subtraction is a vectorized pc.is_in, not a Python loop
-                sel_set_ref = ray.put(pa.array(sel_df["url_hash"], type=pa.string()))
-                rest = frontier_ds.map_batches(
-                    lambda t, ref=sel_set_ref: t.filter(
-                        pc.invert(pc.is_in(t["url_hash"], value_set=ray.get(ref)))
-                    ),
-                    batch_format="pyarrow",
-                )
+                if sel_set_ref is not None:
+                    rest = frontier_ds.map_batches(
+                        lambda t, ref=sel_set_ref: t.filter(
+                            pc.invert(
+                                pc.is_in(t["url_hash"], value_set=ray.get(ref))
+                            )
+                        ),
+                        batch_format="pyarrow",
+                    )
             else:
                 thr_hosts = thr_tbl["host"].to_pylist()
                 thr = (

@@ -47,6 +47,7 @@ from crawler_ray.functions.conditions import should_run
 from crawler_ray.functions.pagination import (
     StopScan,
     detect_pattern,
+    pagination_strategy,
     template_pattern,
 )
 from crawler_ray.functions.selectors import extract_fields, json_path, json_path_soft
@@ -231,17 +232,23 @@ class WorkflowRunner:
         seed = seeds[0]  # reference quirk: first seed only
 
         pag = cfg.get("pagination", {})
+        strategy = pagination_strategy(seed, pag)
         urls = [seed]
-        if pag.get("enabled"):
+        if strategy == "template":
+            # reference semantics (services/pagination.py:76-101): the
+            # template DEFINES the page list — generate start_page..max_pages
+            # and do NOT prepend the seed URL
             max_pages = int(pag.get("max_pages", self.max_pages_default))
-            if pag.get("url_template"):
-                pattern = template_pattern(
-                    pag["url_template"], int(pag.get("start_page", 1))
-                )
-            else:
-                pattern = detect_pattern(seed)
-            if pattern is not None:
-                urls += pattern.pages(seed, max_pages=max_pages)
+            start = int(pag.get("start_page", 1))
+            pattern = template_pattern(pag["url_template"], start)
+            urls = pattern.pages(seed, start=start, max_pages=max_pages)
+        elif strategy == "auto_detected":
+            # seed + detected pages current+1..max (pagination.py:103-123)
+            max_pages = int(pag.get("max_pages", self.max_pages_default))
+            urls = [seed] + detect_pattern(seed).pages(seed, max_pages=max_pages)
+        # strategy "selector": no URL pattern — seed only; the reference
+        # defers DOM-based next-link following to the worker and warns when
+        # no additional pages result (seed_url_crawler.py:759-779)
 
         link_selector = None
         link_field = cfg.get("url_field", "urls")
@@ -329,7 +336,8 @@ class WorkflowRunner:
             )
 
         chain_meta = None
-        if pag.get("enabled") and pag.get("stop_detection", True):
+        if (pag.get("enabled") and strategy != "disabled"
+                and pag.get("stop_detection", True)):
             # in-order pagination with early stop (SURVEY §2.9 contract;
             # reference services/pagination.py:213-252): ONE sequential
             # task owns the chain's StopScan state, so a site with 3 real
@@ -391,11 +399,24 @@ class WorkflowRunner:
             "pages_planned": len(urls),
             "total_urls": len(ordered),
             "duplicate_urls": len(rows) - len(ordered),
+            "pagination_strategy": strategy,
         }
         if chain_meta is not None:
             crawl_meta["pages_fetched"] = chain_meta["pages_fetched"]
             crawl_meta["stop_reason"] = chain_meta["stop_reason"]
+        warnings = []
+        if strategy == "selector" and n_pages <= 1:
+            # reference seed_url_crawler.py:759-779: selector-based
+            # pagination is DOM-follow territory the URL generator can't
+            # expand — surface the same warning instead of silently
+            # single-paging
+            warnings.append(
+                f"Pagination selector '{pag.get('selector')}' configured "
+                "but no additional pages found"
+            )
         out = {link_field: ordered, "_crawl_metadata": crawl_meta}
+        if warnings:
+            out["_warnings"] = warnings
         # typed output validation (step_validator.py:113-143)
         StepValidator().validate_output(
             step.name, "crawl", {link_field: ordered}, out["_crawl_metadata"]

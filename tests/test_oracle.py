@@ -81,12 +81,10 @@ def test_query_matches_oracle(name, ray_session, sf_dir):
 
 
 def test_every_query_has_an_oracle(ray_session):
-    """Since round 3 every registry entry is value-level oracled (the last
-    holdouts — the two ANN paths — got full-SQL algorithm recomputations),
-    with ONE documented exception: price_quantiles_sketch, whose KLL-style
-    compaction depends on merge order (not a pure function of the data
-    across parallelism levels) — it is rank-error-bounded in
-    tests/test_sketch.py instead."""
+    """Since round 4 EVERY registry entry is value-level oracled: the last
+    holdout (price_quantiles_sketch) switched from merge-order-dependent
+    KLL compaction to a deterministic bottom-k-by-hash sampling sketch
+    that DuckDB recomputes exactly."""
     from crawler_ray.pipelines.queries import QUERIES, oracle_sql
 
-    assert set(QUERIES) - set(oracle_sql()) == {"price_quantiles_sketch"}
+    assert set(QUERIES) - set(oracle_sql()) == set()

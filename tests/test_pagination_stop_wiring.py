@@ -89,16 +89,65 @@ def test_empty_page_run_stops_the_chain(ray_session):
 
 
 def test_circular_pagination_stops_the_chain(ray_session):
-    """A url_template that regenerates the seed URL revisits it on the
-    second fetch -> circular-pagination stop."""
-    meta = _run(
-        FakePagedWeb(real_pages=5, mode="ok404"), max_pages=30,
-        url_template="https://site.example.id/list?page={page}",
-        start_page=0,  # pages start at current+1 = 1 == the seed itself
-    )
-    assert meta["pages_fetched"] == 2
-    assert meta["pages_crawled"] == 1
+    """A chain whose URL list revisits an earlier URL (selector-follow /
+    redirect loops produce these) stops at the revisit — drive the chain
+    kernel directly with a duplicated URL."""
+    from crawler_ray.pipelines.workflow import _pagination_chain
+
+    web = FakePagedWeb(real_pages=5, mode="ok404")
+    urls = [
+        "https://site.example.id/list?page=1",
+        "https://site.example.id/list?page=2",
+        "https://site.example.id/list?page=1",   # loop back
+        "https://site.example.id/list?page=3",   # never reached
+    ]
+    meta, table = _pagination_chain(web, urls, 100, 2)
+    assert meta["pages_fetched"] == 3
     assert "Circular pagination" in meta["stop_reason"]
+    assert table.num_rows == 2  # the revisited page is not yielded
+
+
+def test_template_strategy_matches_reference_url_list(ray_session):
+    """url_template defines the page list OUTRIGHT: generate
+    start_page..max_pages and do NOT prepend the seed
+    (reference services/pagination.py:76-101 generate_range)."""
+    web = FakePagedWeb(real_pages=3, mode="ok404")
+    meta = _run(
+        web, max_pages=5,
+        url_template="https://site.example.id/list?page={page}",
+        start_page=2,
+    )
+    # planned = pages 2..5 (4 urls, seed NOT prepended); pages 2,3 OK,
+    # page 4 404s -> stop at the 3rd fetch
+    assert meta["pagination_strategy"] == "template"
+    assert meta["pages_planned"] == 4
+    assert meta["pages_fetched"] == 3
+    assert meta["pages_crawled"] == 2
+
+
+def test_selector_strategy_single_page_with_warning(ray_session):
+    """No detectable pattern + a pagination selector: seed-only crawl with
+    the reference's warning (seed_url_crawler.py:759-779)."""
+    runner = WorkflowRunner(FakePagedWeb(real_pages=3, mode="ok404"))
+    ctx = runner.run(
+        [
+            {
+                "name": "daftar",
+                "type": "crawl",
+                "config": {
+                    # path has no page carrier -> detect_pattern -> None
+                    "seed_url": "https://site.example.id/list",
+                    "pagination": {"enabled": True, "max_pages": 10,
+                                   "selector": "a.next::attr(href)"},
+                },
+            }
+        ]
+    )
+    out = ctx["steps"]["daftar"]
+    meta = out["_crawl_metadata"]
+    assert meta["pagination_strategy"] == "selector"
+    assert meta["pages_planned"] == 1
+    assert any("no additional pages" in w for w in out["_warnings"])
 
 
 def test_404_stop_and_opt_out(ray_session):

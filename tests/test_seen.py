@@ -244,3 +244,30 @@ def test_failed_eviction_chain_never_forgets_a_key():
     # batch membership agrees, stash included
     arr = np.array(inserted, dtype=np.uint64)
     assert bool(f.contains_batch(arr).all())
+
+
+def test_hexn_from_arrow_large_string_and_widths():
+    """large_string columns (int64 offsets) must decode identically to
+    string columns, and unsupported types must fail LOUDLY instead of
+    silently misdecoding dedup keys (round-4 ADVICE)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from crawler_ray.state.seen import hexn_from_arrow
+
+    hashes = ["deadbeefcafef00d" * 4, "0123456789abcdef" * 4, "f" * 64]
+    small = pa.array(hashes, type=pa.string())
+    large = pa.array(hashes, type=pa.large_string())
+    for width in (4, 8, 16):
+        want = np.array([int(h[:width], 16) for h in hashes], dtype=np.uint64)
+        np.testing.assert_array_equal(hexn_from_arrow(small, width), want)
+        np.testing.assert_array_equal(hexn_from_arrow(large, width), want)
+    # short values fall back per chunk, any width
+    shorts = pa.array(["ab", "deadbeef"], type=pa.large_string())
+    np.testing.assert_array_equal(
+        hexn_from_arrow(shorts, 4),
+        np.array([0xAB, 0xDEAD], dtype=np.uint64),
+    )
+    with pytest.raises(TypeError):
+        hexn_from_arrow(pa.array([1, 2], type=pa.int64()), 16)
