@@ -178,10 +178,14 @@ class WorkflowRunner:
 
     def __init__(self, web, fetch_batch_size: int = SCRAPE_FETCH_BATCH,
                  max_pages_default: int = 100,
-                 classification_rules=None) -> None:
+                 classification_rules=None,
+                 cancel_check=None) -> None:
         self.web = web
         self.fetch_batch_size = fetch_batch_size
         self.max_pages_default = max_pages_default
+        # cooperative cancellation polled between steps (reference
+        # JobCancellationFlag, step_orchestrator.py:149-167)
+        self.cancel_check = cancel_check
         # user-extension seam (reference retry_policy.py:364-516): custom
         # ErrorClassificationRule list applied — first match wins — when
         # classifying failed fetches in scrape steps; falls back to the
@@ -583,6 +587,16 @@ class WorkflowRunner:
         context: dict = {"variables": dict(variables or {}), "steps": {},
                          "execution_order": [], "metadata": {}}
         for step in ordered:
+            if self.cancel_check is not None and self.cancel_check():
+                # reference step_orchestrator.py:149-167: cancellation is
+                # polled BETWEEN steps (the <5 s responsiveness target is a
+                # between-steps/pages contract); completed steps stay in
+                # the context, the remainder is marked cancelled
+                context["metadata"]["cancelled"] = True
+                context["metadata"][step.name] = {
+                    "skipped": True, "reason": "cancelled",
+                }
+                break
             cfg = {"skip_if": step.skip_if or None, "run_only_if": step.run_only_if or None}
             cfg = {k: v for k, v in cfg.items() if v}
             if not should_run(cfg, context):

@@ -135,3 +135,39 @@ def test_price_quantiles_sketch_query(ray_session, sf_dir):
     assert len(out) == 5
     for q, v in zip(out["q"], out["val"]):
         assert _interval_rank_err(xs, v, q) <= 0.02, (q, v)
+
+
+def test_bottom_k_sample_is_partition_invariant():
+    """The round-4 price_quantiles_sketch rests on bottom-k-by-hash being a
+    monoid: merging per-part bottom-ks equals the global bottom-k for ANY
+    partitioning — so the distributed estimate is a pure function of the
+    data (the property the DuckDB oracle depends on)."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, k = 5_000, 256
+    vals = rng.lognormal(3, 1, size=n)
+    keys = np.array(
+        [hashlib.md5(f"{i}-{i % 7}".encode()).hexdigest() for i in range(n)],
+        dtype=object,
+    )
+
+    def bottom_k(ks, vs):
+        idx = np.argsort(ks, kind="stable")[:k]
+        return ks[idx], vs[idx]
+
+    g_keys, g_vals = bottom_k(keys, vals)
+    for n_parts in (1, 3, 7, 64):
+        cuts = np.linspace(0, n, n_parts + 1).astype(int)
+        part_keys, part_vals = [], []
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            pk, pv = bottom_k(keys[a:b], vals[a:b])
+            part_keys.append(pk)
+            part_vals.append(pv)
+        m_keys, m_vals = bottom_k(
+            np.concatenate(part_keys), np.concatenate(part_vals)
+        )
+        assert np.array_equal(m_keys, g_keys)
+        assert np.array_equal(m_vals, g_vals)

@@ -200,3 +200,38 @@ def test_scrape_error_categories_with_custom_rules(ray_session):
     assert ruled["error_categories"]["gone_forever"] == base[
         "error_categories"
     ]["not_found"]
+
+
+def test_workflow_cancellation_between_steps(ray_session):
+    """Cancellation polls BETWEEN steps (reference step_orchestrator.py:
+    149-167): completed steps stay in the context, the first step after the
+    flag flips is marked cancelled and nothing beyond it runs."""
+    flags = {"cancel": False}
+
+    def cancel_check():
+        return flags["cancel"]
+
+    runner = WorkflowRunner(WEB, cancel_check=cancel_check)
+    steps = _two_step_workflow()
+
+    # uncancelled baseline: both steps run
+    ctx = runner.run(steps)
+    assert ctx["execution_order"] == ["daftar", "detail"]
+    assert "cancelled" not in ctx["metadata"]
+
+    # flip the flag after the first step completes: the crawl step's output
+    # survives, the scrape step never runs
+    class FlipAfterFirst:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self):
+            self.calls += 1
+            return self.calls > 1  # False before step 1, True before step 2
+
+    runner = WorkflowRunner(WEB, cancel_check=FlipAfterFirst())
+    ctx = runner.run(steps)
+    assert ctx["execution_order"] == ["daftar"]
+    assert ctx["metadata"]["cancelled"] is True
+    assert ctx["metadata"]["detail"] == {"skipped": True, "reason": "cancelled"}
+    assert "daftar" in ctx["steps"] and "detail" not in ctx["steps"]
