@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     # the inverted-index self-join is quadratic in hot shingles (323s at
     # sf0.1) — doc_minhash_pairs is the scale path for the same answer (~5s)
     "doc_minhash_pairs",
+    # near-dup pairs resolved into duplicate CLUSTERS (connected components
+    # via one-task union-find below 2M edges, iterative hash-min label
+    # propagation beyond)
+    "doc_dup_clusters",
     "doc_simhash_bands",
     "knn_bruteforce",
     "emb_similar_pairs",

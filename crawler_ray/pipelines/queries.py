@@ -1117,6 +1117,57 @@ def q_doc_minhash_pairs(sf_dir: str):
     return _verify_candidates(candidates, sf_dir)
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER assignment: the near-dup pair graph (MinHash+LSH
+    candidates, exact-Jaccard >= 0.5 verified — the same edge set as
+    ``doc_minhash_pairs``) resolved into connected components with
+    distributed hash-min label propagation (``stages/graph.py``).  A real
+    training-data pipeline needs this step — keep ONE doc per cluster —
+    not just pairs; transitivity means clusters can chain beyond any
+    single pair's similarity.  cluster_id = min doc_id in the component
+    (deterministic at any parallelism); singleton docs are not emitted.
+    Oracle: DuckDB recursive CTE computing the transitive min label over
+    the identical exact-Jaccard edge set."""
+    from crawler_ray.stages.graph import attach_cluster_sizes, connected_components
+
+    pairs = q_doc_minhash_pairs(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["a_doc_id"], "v": t["b_doc_id"]}),
+        batch_format="pyarrow",
+    )
+    comp = connected_components(edges)
+    return attach_cluster_sizes(comp).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "cluster_id": t["cluster_id"],
+                "cluster_size": t["cluster_size"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_DUP_CLUSTERS = f"""
+WITH RECURSIVE
+pairs0 AS (SELECT a_doc_id, b_doc_id FROM ({SQL_JACCARD_PAIRS})),
+edges AS (SELECT a_doc_id AS u, b_doc_id AS v FROM pairs0
+          UNION ALL
+          SELECT b_doc_id AS u, a_doc_id AS v FROM pairs0),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lbl) AS (
+    SELECT node, node AS lbl FROM nodes
+    UNION
+    SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.cluster_id, n.cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) n
+  USING (cluster_id)
+"""
+
+
 DECONTAM_K = 5          # n-gram length for contamination matching
 DECONTAM_BENCH_DOCS = 50  # doc_id < K = the "benchmark" set stand-in
 
@@ -2378,6 +2429,7 @@ QUERIES = {
     "event_user_hll": q_event_user_hll,
     "lineitem_quantiles": q_lineitem_quantiles,
     "doc_sample": q_doc_sample,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "emb_lsh_pairs": q_emb_lsh_pairs,
 }
@@ -2408,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_jaccard_pairs": SQL_JACCARD_PAIRS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "doc_minhash_pairs": SQL_JACCARD_PAIRS,
+        "doc_dup_clusters": SQL_DOC_DUP_CLUSTERS,
         "knn_bruteforce": SQL_KNN,
         "emb_similar_pairs": SQL_EMB_PAIRS,
         "emb_label_stats": SQL_EMB_LABEL_STATS,

@@ -1,0 +1,98 @@
+"""Connected-components dedup clustering (stages/graph.py): the one-task
+union-find path and the iterative hash-min label-propagation path must
+produce identical labelings (cluster_id = min node id per component), and
+attach_cluster_sizes must count exactly."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from crawler_ray.stages.graph import attach_cluster_sizes, connected_components
+
+
+def _random_graph(n_nodes=400, n_edges=600, seed=11):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+    v = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+    keep = u != v
+    return u[keep], v[keep]
+
+
+def _truth(u, v):
+    """Reference labeling via a plain python DSU."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    nodes = sorted(set(u.tolist()) | set(v.tolist()))
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        lbl = min(members)
+        for m in members:
+            out[m] = lbl
+    return out
+
+
+def _labels_of(ds):
+    return {r["node"]: r["cluster_id"] for r in ds.take_all()}
+
+
+def test_union_find_path_matches_truth(ray_session):
+    u, v = _random_graph()
+    edges = rd.from_arrow(pa.table({"u": u, "v": v}))
+    got = _labels_of(connected_components(edges))
+    assert got == _truth(u, v)
+
+
+def test_iterative_path_matches_union_find(ray_session):
+    """Force the distributed label-propagation path (threshold 0) and pin
+    it against the union-find labeling — the two paths are interchangeable
+    by construction (both emit min-node cluster ids)."""
+    u, v = _random_graph(n_nodes=40, n_edges=48, seed=3)
+    edges = rd.from_arrow(pa.table({"u": u, "v": v}))
+    fast = _labels_of(connected_components(edges))
+    slow = _labels_of(
+        connected_components(edges, single_task_edges=0, n_buckets=4)
+    )
+    assert fast == slow == _truth(u, v)
+
+
+def test_chain_graph_needs_multiple_iterations(ray_session):
+    """A path graph (diameter >> 1) exercises the convergence loop: labels
+    must propagate the min to the far end."""
+    n = 6
+    u = np.arange(n - 1, dtype=np.int64) + 100
+    v = np.arange(1, n, dtype=np.int64) + 100
+    edges = rd.from_arrow(pa.table({"u": u, "v": v}))
+    got = _labels_of(
+        connected_components(edges, single_task_edges=0, n_buckets=4)
+    )
+    assert set(got.values()) == {100}
+    assert len(got) == n
+
+
+def test_attach_cluster_sizes_counts_exactly(ray_session):
+    u, v = _random_graph(n_nodes=200, n_edges=260, seed=7)
+    edges = rd.from_arrow(pa.table({"u": u, "v": v}))
+    comp = connected_components(edges)
+    rows = attach_cluster_sizes(comp).take_all()
+    truth = _truth(u, v)
+    from collections import Counter
+
+    want_sizes = Counter(truth.values())
+    assert len(rows) == len(truth)
+    for r in rows:
+        assert truth[r["node"]] == r["cluster_id"]
+        assert r["cluster_size"] == want_sizes[r["cluster_id"]]
