@@ -2390,6 +2390,38 @@ SELECT doc_id, source FROM s WHERE hv * 100 < rate * 4294967296
 
 
 # ============================================================ registry
+# ============================================================ range join
+# Interval/range join — a window-bucketed partitioned join (see
+# stages/join.py::range_count_join).  Reference analogue: time-bounded
+# lookups (crawl_log time-range filters, retry `not_before` checks)
+# generalized to a per-row trailing window.
+RANGE_JOIN_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h
+
+
+def q_events_range_join(sf_dir: str):
+    """Per-event trailing-window count: for each event, how many events the
+    same user produced in the preceding 24 hours.  One (key, time-bucket)
+    shuffle + one narrow id-sum — never a quadratic self-join."""
+    from crawler_ray.stages.join import range_count_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["user_id", "ts"])
+    return range_count_join(
+        left, right, key=("user_id", "user_id"), time=("ts", "ts"),
+        window_us=RANGE_JOIN_WINDOW_US, id_col="event_id",
+        out_col="n_prior_24h",
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT a.event_id, COUNT(b.ts) AS n_prior_24h
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL '24 hours' AND b.ts < a.ts
+GROUP BY a.event_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2432,6 +2464,7 @@ QUERIES = {
     "doc_dup_clusters": q_doc_dup_clusters,
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "emb_lsh_pairs": q_emb_lsh_pairs,
+    "events_range_join": q_events_range_join,
 }
 
 
@@ -2483,4 +2516,5 @@ def oracle_sql() -> dict[str, str]:
         # sampling sketch is a pure function of the data): DuckDB
         # recomputes the identical sample, closing the last no_oracle row
         "price_quantiles_sketch": SQL_PRICE_QUANTILES_SKETCH,
+        "events_range_join": SQL_EVENTS_RANGE_JOIN,
     }

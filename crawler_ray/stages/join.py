@@ -353,3 +353,112 @@ def asof_join(
         return _listify(merged[merged[rt_col].notna()])
 
     return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
+
+
+def range_count_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: tuple[str, str],
+    time: tuple[str, str],
+    window_us: int,
+    id_col: str,
+    out_col: str = "n_in_window",
+) -> "rd.Dataset":
+    """For each left row, count right rows with the same key whose time lies
+    in the half-open window ``[left_time - window, left_time)`` — the
+    interval/range join Ray Data has no native operator for (reference
+    analogue: the time-bounded lookups behind retry scheduling and log
+    windows, e.g. sql/queries/crawl_log.sql time-range filters, generalized
+    to a per-row window).
+
+    Partitioned-interval-join shape: time buckets are exactly one window
+    wide, so every left row's window intersects at most TWO buckets; right
+    rows build into their own (key, bucket) partition, left rows probe
+    bucket ``b`` and ``b-1``, per-partition counting is two vectorized
+    ``searchsorted`` calls over the partition's sorted build times, and the
+    ≤2 partial counts per left row re-aggregate with one narrow
+    groupby-sum on the left id.  A hot key's volume splits across time
+    buckets, so no single task holds a whole hot key's history; per-task
+    memory is bounded by one key's rows per window width.
+    """
+    lk, rk = key
+    ltc, rtc = time
+    key_type = _unify_key_type(_arrow_types(left)[lk], _arrow_types(right)[rk])
+    w = int(window_us)
+
+    def _ts_int64(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64())
+
+    def _bucket(ts: pa.ChunkedArray) -> pa.ChunkedArray:
+        # exact int64 division (epoch-µs timestamps are positive, so
+        # truncation == floor); float division would mis-bucket rows at
+        # exact window boundaries
+        return pc.divide(ts, pa.scalar(w, pa.int64()))
+
+    def build(t: pa.Table) -> pa.Table:
+        ts = _ts_int64(t[rtc])
+        b = _bucket(ts)
+        n = len(t)
+        return pa.table(
+            {
+                "__k": t[rk].cast(key_type),
+                "__b": b,
+                "__ts": ts,
+                "__id": pa.array(np.zeros(n, dtype=np.int64)),
+                "__probe": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def probe(t: pa.Table) -> pa.Table:
+        ts = _ts_int64(t[ltc])
+        b = _bucket(ts)
+        n = len(t)
+        k = t[lk].cast(key_type)
+        ids = t[id_col].cast(pa.int64())
+        ones = pa.array(np.ones(n, dtype=np.int8))
+        own = pa.table(
+            {"__k": k, "__b": b, "__ts": ts, "__id": ids, "__probe": ones}
+        )
+        prev = pa.table(
+            {
+                "__k": k,
+                "__b": pc.subtract(b, pa.scalar(1, pa.int64())),
+                "__ts": ts,
+                "__id": ids,
+                "__probe": ones,
+            }
+        )
+        return pa.concat_tables([own, prev])
+
+    both = right.map_batches(build, batch_format="pyarrow").union(
+        left.map_batches(probe, batch_format="pyarrow")
+    )
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["__probe"] == 1]
+        if probes.empty:
+            return pd.DataFrame({"__id": pd.Series([], dtype=np.int64),
+                                 "__n": pd.Series([], dtype=np.int64)})
+        bts = np.sort(g.loc[g["__probe"] == 0, "__ts"].to_numpy())
+        pts = probes["__ts"].to_numpy()
+        lo = np.searchsorted(bts, pts - w, side="left")
+        hi = np.searchsorted(bts, pts, side="left")
+        return pd.DataFrame(
+            {"__id": probes["__id"].to_numpy(), "__n": (hi - lo).astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    out = (
+        both.groupby(["__k", "__b"])
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .groupby("__id")
+        .aggregate(_Sum("__n", alias_name=out_col))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col if c == "__id" else c for c in t.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
