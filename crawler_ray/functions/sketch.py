@@ -208,3 +208,30 @@ class RankSketch:
             )
             off += 8 * ln
         return sk
+
+
+def misra_gries(tokens: "pd.Series", capacity: int) -> "pd.Series":
+    """Misra-Gries heavy-hitter summary of one batch's token counts.
+
+    Exact counts first (pandas value_counts), then the MG decrement: if more
+    than ``capacity`` distinct tokens exist, subtract the (capacity+1)-th
+    largest count from all and keep the strictly positive remainder — at
+    most ``capacity`` survivors.  Each batch summary underestimates a
+    token's batch count by at most ``n_batch / (capacity + 1)``, so summing
+    per-batch summaries underestimates a global count by at most
+    ``N / (capacity + 1)`` (Misra & Gries 1982; mergeability per Agarwal,
+    Cormode et al., "Mergeable Summaries", PODS 2012).  Consequence used by
+    the heavy-hitters query: every token with global count > N/(capacity+1)
+    retains a positive summed count, so the union of per-batch survivors is
+    a SUPERSET of the true heavy hitters — an exact second counting pass
+    over that bounded candidate set makes the final answer exact.
+    """
+    import pandas as pd  # local: module keeps numpy-only imports at top
+
+    counts = tokens.value_counts(sort=False)
+    if len(counts) <= capacity:
+        return counts
+    vals = np.sort(counts.to_numpy())[::-1]
+    d = int(vals[capacity])  # (capacity+1)-th largest
+    kept = counts[counts > d] - d
+    return kept

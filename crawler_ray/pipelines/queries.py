@@ -1512,16 +1512,13 @@ SELECT query_id, neighbor_id, ROUND(craw, 6) AS cosine FROM (
 """
 
 
-@_functools.lru_cache(maxsize=1)
-def _sql_knn_ann_ivf() -> str:
-    """Full-SQL recomputation of the IVF ANN (stages/ann.py::ivf_topk):
-    seeded k-means init indices embedded as literals (rng.choice depends
-    only on the seed and the 256-row sample size — data-free), the 8 Lloyd
-    iterations UNROLLED as chained CTEs (assign by euclidean distance with
-    argmin's lowest-index tie-break, per-dimension AVG rebuild, empty
-    clusters keep their previous centroid), then probe/assign by cosine
-    and exact rescoring with the engine's top-k tie-break."""
-    n_lists, n_probe, iters = 16, 4, 8  # ivf_topk/_kmeans defaults
+def _lloyd_ctes(n_lists: int, iters: int) -> tuple[str, str]:
+    """Shared SQL builder: seeded k-means init literals + the Lloyd
+    iterations UNROLLED as chained CTEs over the `smp` sample (assign by
+    euclidean distance with argmin's lowest-index tie-break, per-dimension
+    AVG rebuild, empty clusters keep their previous centroid) — mirrors
+    stages/ann.py::_kmeans exactly.  Returns (init VALUES, lloyd CTE
+    chain); the caller provides `smp` and consumes `cent{iters}`."""
     idx = np.random.default_rng(7).choice(256, size=n_lists, replace=False)
     init_vals = ", ".join(f"({j}, {int(idx[j])})" for j in range(n_lists))
     lloyd = []
@@ -1540,12 +1537,22 @@ mean{i} AS (
 cent{i + 1} AS (
   SELECT c.cl, COALESCE(nm.c2, c.c) AS c FROM cent{i} c LEFT JOIN (
     SELECT cl, list(m ORDER BY i) AS c2 FROM mean{i} GROUP BY cl) nm USING (cl))""")
+    return init_vals, ",".join(lloyd)
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_knn_ann_ivf() -> str:
+    """Full-SQL recomputation of the IVF ANN (stages/ann.py::ivf_topk):
+    k-means replayed via _lloyd_ctes, then probe/assign by cosine and exact
+    rescoring with the engine's top-k tie-break."""
+    n_lists, n_probe, iters = 16, 4, 8  # ivf_topk/_kmeans defaults
+    init_vals, lloyd_sql = _lloyd_ctes(n_lists, iters)
     return f"""
 WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 256),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {KNN_QUERIES}),
 init(cl, vid) AS (VALUES {init_vals}),
 cent0 AS (SELECT i.cl, s.v AS c FROM init i JOIN smp s ON s.vec_id = i.vid),
-{",".join(lloyd)},
+{lloyd_sql},
 probe AS (
   SELECT qid, cl FROM (
     SELECT q.qid, c.cl,
@@ -2422,6 +2429,244 @@ GROUP BY a.event_id
 """
 
 
+# ======================================================== heavy hitters
+# Exact distributed heavy hitters via a mergeable Misra-Gries candidate
+# pass + an exact recount of the bounded candidate set (classic 2-pass;
+# see functions/sketch.py::misra_gries for the superset guarantee).
+MG_CAPACITY = 64
+HH_FACTOR = 32  # heavy iff cnt * HH_FACTOR > N; guarantee needs ≤ capacity+1
+assert HH_FACTOR <= MG_CAPACITY + 1
+
+
+def q_doc_heavy_tokens(sf_dir: str):
+    """Tokens whose global count exceeds N/32 across all documents — EXACT,
+    with bounded state: pass 1 emits ≤ capacity+1 rows per block (per-batch
+    Misra-Gries summaries + a sentinel row carrying the batch token total),
+    pass 2 recounts only the candidate union (≤ capacity × blocks tokens,
+    broadcast once via ray.put).  The driver holds O(capacity × blocks)
+    rows, never the corpus; no shuffle ever carries raw tokens."""
+    from crawler_ray.functions.sketch import misra_gries
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE).explode().dropna()
+        mg = misra_gries(toks, MG_CAPACITY)
+        # sentinel "" carries the batch's token total (\S+ never yields "")
+        return pd.DataFrame(
+            {
+                "token": np.append(mg.index.to_numpy(dtype=object), [""]),
+                "c": np.append(mg.to_numpy(np.int64), [np.int64(len(toks))]),
+            }
+        )
+
+    part = (
+        ds.map_batches(summarize, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    rows = part.take_all()  # bounded: ≤ (capacity+1) rows per input block
+    total = int(sum(r["c"] for r in rows if r["token"] == ""))
+    cands = frozenset(r["token"] for r in rows if r["token"] != "")
+    ref = ray.put(cands)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(ref)
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE).explode().dropna()
+        t = toks[toks.isin(cset)].value_counts(sort=False)
+        return pd.DataFrame(
+            {
+                "token": t.index.to_numpy(dtype=object),
+                "cnt": t.to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(recount, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return out.map_batches(
+        lambda df: df[df["cnt"] * HH_FACTOR > total], batch_format="pandas"
+    )
+
+
+SQL_DOC_HEAVY_TOKENS = f"""
+WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, COUNT(*) AS cnt FROM toks, tot
+GROUP BY token, tot.n HAVING COUNT(*) * {HH_FACTOR} > tot.n
+"""
+
+
+# ============================================================ k-means
+KMEANS_CLUSTERS = 16
+KMEANS_ITERS = 8
+
+
+def q_emb_kmeans_assign(sf_dir: str):
+    """K-means cluster assignment for every embedding: centroids train on a
+    deterministic driver-side sample (seeded init, fixed Lloyd iterations —
+    stages/ann.py::_kmeans, the IVF coarse quantizer), broadcast once, and
+    assignment is a stateless per-batch euclidean argmin (lowest-index
+    tie-break).  The clustering path of a training-data pipeline: at 100 TB
+    the sample is one `random_sample` pass and assignment streams."""
+    from crawler_ray.stages.ann import _kmeans
+
+    st = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 256)],
+    )
+    C = _kmeans(_emb_matrix(st), KMEANS_CLUSTERS, iters=KMEANS_ITERS)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        X = _emb_matrix(t)
+        d = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(-1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(d.argmin(1).astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_emb_kmeans() -> str:
+    """Full-SQL k-means replay (shared _lloyd_ctes chain) + final euclidean
+    argmin assignment over ALL embeddings — value-exact vs the engine."""
+    init_vals, lloyd_sql = _lloyd_ctes(KMEANS_CLUSTERS, KMEANS_ITERS)
+    return f"""
+WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 256),
+init(cl, vid) AS (VALUES {init_vals}),
+cent0 AS (SELECT i.cl, s.v AS c FROM init i JOIN smp s ON s.vec_id = i.vid),
+{lloyd_sql}
+SELECT vec_id, cl AS cluster FROM (
+  SELECT e.vec_id, c.cl,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[], c.c),
+                                     c.cl) AS rn
+  FROM embeddings e, cent{KMEANS_ITERS} c) WHERE rn = 1
+"""
+
+
+# ============================================================== TF-IDF
+TFIDF_TOP_K = 3
+# vocabulary size above which the IDF side stops being broadcast and the
+# distributed token-keyed hash join takes over (natural-language vocabs are
+# ~1e7-1e8 at 100 TB — past this, shipping a dict per worker loses to the
+# narrow (token, df) join)
+TFIDF_BROADCAST_VOCAB = 2_000_000
+
+
+def _doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document term frequencies — local to the batch (one row = one
+    document, so no shuffle is needed to count within documents)."""
+    toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+    if not len(df):
+        return pd.DataFrame({"doc_id": [], "token": [], "tf": []})
+    ex = pd.DataFrame(
+        {
+            "doc_id": np.repeat(
+                df["doc_id"].to_numpy(), toks.map(len).to_numpy()
+            ),
+            "token": np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+        }
+    )
+    tf = (
+        ex.groupby(["doc_id", "token"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    tf["tf"] = tf["tf"].astype(np.int64)
+    return tf
+
+
+def _tfidf_topk(scored: pd.DataFrame, n_docs: int) -> pd.DataFrame:
+    """Top-k terms per doc by (tfidf DESC, token ASC) — requires all of a
+    doc's rows to be present in ``scored``."""
+    scored = scored.sort_values(
+        ["doc_id", "tfidf_raw", "token"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    scored["rnk"] = scored.groupby("doc_id", sort=False).cumcount() + 1
+    out = scored[scored["rnk"] <= TFIDF_TOP_K].copy()
+    out["tfidf"] = duck_round(out["tfidf_raw"].to_numpy(), 6)
+    return out[["doc_id", "token", "tf", "df", "tfidf", "rnk"]]
+
+
+def q_doc_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document.  TF is batch-local (documents never
+    split across rows); DF is one narrow (token, df) aggregate.  Small
+    vocabularies broadcast the IDF map and the top-k runs shuffle-free in
+    the same pass that recomputes TF; huge vocabularies switch to the
+    distributed token-keyed hash join + per-doc groupby (same output,
+    asserted in tests/test_tfidf.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
+    dfreq = tf_rows.groupby("token").aggregate(Count(alias_name="df"))
+    vocab = dfreq.count()
+
+    if vocab <= TFIDF_BROADCAST_VOCAB:
+        idf_rows = dfreq.take_all()  # bounded by the vocab-size threshold
+        ref = ray.put({r["token"]: int(r["df"]) for r in idf_rows})
+
+        def topk_local(df: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(ref)
+            tf = _doc_tf(df)
+            if tf.empty:
+                return pd.DataFrame(
+                    {c: [] for c in ["doc_id", "token", "tf", "df", "tfidf", "rnk"]}
+                )
+            tf["df"] = tf["token"].map(dmap).astype(np.int64)
+            tf["tfidf_raw"] = tf["tf"].to_numpy(np.float64) * np.log(
+                n_docs / tf["df"].to_numpy(np.float64)
+            )
+            return _tfidf_topk(tf, n_docs)
+
+        return ds.map_batches(topk_local, batch_format="pandas")
+
+    from crawler_ray.stages.join import hash_join
+
+    joined = hash_join(tf_rows, dfreq, "token", "token")
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["tfidf_raw"] = g["tf"].to_numpy(np.float64) * np.log(
+            n_docs / g["df"].to_numpy(np.float64)
+        )
+        return _tfidf_topk(g, n_docs)
+
+    return joined.groupby("doc_id").map_groups(topk_group, batch_format="pandas")
+
+
+SQL_DOC_TFIDF = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         tf.tf * ln(n.n * 1.0 / dfreq.df) AS tfidf_raw,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(n.n * 1.0 / dfreq.df) DESC,
+                                     tf.token) AS rnk
+  FROM tf JOIN dfreq USING (token), n)
+SELECT doc_id, token, tf, df, ROUND(tfidf_raw, 6) AS tfidf, rnk
+FROM scored WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2465,6 +2710,9 @@ QUERIES = {
     "price_quantiles_sketch": q_price_quantiles_sketch,
     "emb_lsh_pairs": q_emb_lsh_pairs,
     "events_range_join": q_events_range_join,
+    "doc_heavy_tokens": q_doc_heavy_tokens,
+    "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
+    "emb_kmeans_assign": q_emb_kmeans_assign,
 }
 
 
@@ -2517,4 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         # recomputes the identical sample, closing the last no_oracle row
         "price_quantiles_sketch": SQL_PRICE_QUANTILES_SKETCH,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
+        "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
+        "doc_tfidf_top_terms": SQL_DOC_TFIDF,
+        "emb_kmeans_assign": _sql_emb_kmeans(),
     }

@@ -337,9 +337,15 @@ def ivf_query(sf_dir: str, n_queries: int = 10, k: int = 5):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    train = _matrix(full.filter(pc.less(full["vec_id"], 256)))
-    qt = full.filter(pc.less(full["vec_id"], n_queries))
+    # row-group filter pushdown: only the ≤256 sample rows reach the driver,
+    # never the full embedding table
+    tt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 256)],
+    )
+    train = _matrix(tt)
+    qt = tt.filter(pc.less(tt["vec_id"], n_queries))
     q_ids = np.asarray(qt["vec_id"].to_pylist())
     Q = _matrix(qt)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -353,9 +359,13 @@ def ann_query(sf_dir: str, n_queries: int = 10, k: int = 5):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    train = _matrix(full.filter(pc.less(full["vec_id"], 256)))
-    qt = full.filter(pc.less(full["vec_id"], n_queries))
+    tt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 256)],
+    )
+    train = _matrix(tt)
+    qt = tt.filter(pc.less(tt["vec_id"], n_queries))
     q_ids = np.asarray(qt["vec_id"].to_pylist())
     Q = _matrix(qt)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

@@ -171,3 +171,53 @@ def test_bottom_k_sample_is_partition_invariant():
         )
         assert np.array_equal(m_keys, g_keys)
         assert np.array_equal(m_vals, g_vals)
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def test_misra_gries_superset_guarantee():
+    """Every token with count > n/(capacity+1) survives the batch summary,
+    and the summary never holds more than `capacity` entries."""
+    import pandas as pd
+
+    from crawler_ray.functions.sketch import misra_gries
+
+    rng = np.random.default_rng(3)
+    # zipf-ish corpus, vocab far beyond capacity
+    toks = pd.Series(
+        [f"w{int(v)}" for v in rng.zipf(1.3, size=20_000) % 5_000]
+    )
+    cap = 16
+    mg = misra_gries(toks, cap)
+    assert len(mg) <= cap
+    exact = toks.value_counts()
+    heavy = exact[exact > len(toks) / (cap + 1)]
+    assert set(heavy.index) <= set(mg.index)
+    # retained counts never exceed exact counts and underestimate boundedly
+    for t, c in mg.items():
+        assert c <= exact[t]
+        assert exact[t] - c <= len(toks) / (cap + 1)
+
+
+def test_heavy_tokens_exact_on_large_vocab(ray_session, tmp_path):
+    """End-to-end 2-pass heavy hitters on a synthetic corpus whose vocab
+    (5k) dwarfs the MG capacity (64): result must equal the exact answer."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(9)
+    words = [f"w{int(v)}" for v in rng.zipf(1.2, size=60_000) % 5_000]
+    docs = [" ".join(words[i : i + 60]) for i in range(0, len(words), 60)]
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = Q.q_doc_heavy_tokens(str(tmp_path)).to_pandas()
+    toks = pd.Series(words)
+    exact = toks.value_counts()
+    want = exact[exact * Q.HH_FACTOR > len(toks)]
+    assert dict(zip(got["token"], got["cnt"])) == want.to_dict()
