@@ -355,6 +355,12 @@ def asof_join(
     return both.groupby("__bucket").map_groups(asof_bucket, batch_format="pyarrow")
 
 
+# windows per epoch partition in range_count_join: a larger M duplicates
+# fewer boundary build rows (1/M of the build side) but grows the per-task
+# slice of a hot key's history (M windows of it)
+RANGE_EPOCH_WINDOWS = 32
+
+
 def range_count_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
@@ -371,94 +377,133 @@ def range_count_join(
     windows, e.g. sql/queries/crawl_log.sql time-range filters, generalized
     to a per-row window).
 
-    Partitioned-interval-join shape: time buckets are exactly one window
-    wide, so every left row's window intersects at most TWO buckets; right
-    rows build into their own (key, bucket) partition, left rows probe
-    bucket ``b`` and ``b-1``, per-partition counting is two vectorized
-    ``searchsorted`` calls over the partition's sorted build times, and the
-    ≤2 partial counts per left row re-aggregate with one narrow
-    groupby-sum on the left id.  A hot key's volume splits across time
-    buckets, so no single task holds a whole hot key's history; per-task
-    memory is bounded by one key's rows per window width.
+    ONE-shuffle shape.  Time divides into epochs of M windows; rows
+    partition by (key, epoch).  A probe's window can only leave its own
+    epoch through the first window, so duplicating just the builds of each
+    epoch's LAST window into the next epoch (1/M of the build side) makes
+    every probe answerable exactly within a single partition — no
+    per-probe partial counts, and crucially no second groupby-sum on the
+    probe id (Ray's sort-based aggregate pays per-distinct-key cost, which
+    at one-id-per-left-row dwarfs the join itself; measured 24 s vs <5 s
+    total on a 100 k-event self-join).
+
+    (key, epoch) cells are not the shuffle unit either — millions of tiny
+    groups would pay per-group Python overhead in ``map_groups``.  Cells
+    hash into a bounded number of coarse groups (hash-join style), and
+    counting inside a group is loop-free across all its cells: cell pairs
+    densify to ids via one lexsort, builds sort once by a (cell, time-rank)
+    composite int64, and each probe's count is the difference of two
+    ``searchsorted`` positions.  Per-task memory is bounded by
+    cells-per-group × one key's rows per M windows; hot keys split across
+    epochs.
     """
     lk, rk = key
     ltc, rtc = time
     key_type = _unify_key_type(_arrow_types(left)[lk], _arrow_types(right)[rk])
     w = int(window_us)
+    m = RANGE_EPOCH_WINDOWS
+    n_groups = DEFAULT_BUCKETS * 2
 
     def _ts_int64(col: pa.ChunkedArray) -> pa.ChunkedArray:
         if pa.types.is_timestamp(col.type):
             col = col.cast(pa.timestamp("us"))
         return col.cast(pa.int64())
 
-    def _bucket(ts: pa.ChunkedArray) -> pa.ChunkedArray:
-        # exact int64 division (epoch-µs timestamps are positive, so
-        # truncation == floor); float division would mis-bucket rows at
-        # exact window boundaries
-        return pc.divide(ts, pa.scalar(w, pa.int64()))
+    def _coarse(k_np: np.ndarray, e_np: np.ndarray) -> np.ndarray:
+        # deterministic cross-process hash of the (key, epoch) cell into a
+        # bounded number of shuffle groups (collisions just co-locate cells)
+        hk = pd.util.hash_array(k_np, categorize=False)
+        he = pd.util.hash_array(e_np.astype(np.int64), categorize=False)
+        g = (hk ^ (he * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(n_groups)
+        return g.astype(np.int64)
+
+    def _tagged(
+        k: pa.ChunkedArray, e: np.ndarray, ts: pa.ChunkedArray,
+        ids: pa.ChunkedArray | pa.Array, is_probe: int,
+    ) -> pa.Table:
+        n = len(e)
+        return pa.table(
+            {
+                "__k": k,
+                "__e": pa.array(e),
+                "__ts": ts,
+                "__id": ids,
+                "__probe": pa.array(np.full(n, is_probe, dtype=np.int8)),
+                "__g": pa.array(
+                    _coarse(k.to_numpy(zero_copy_only=False), e)
+                ),
+            }
+        )
 
     def build(t: pa.Table) -> pa.Table:
         ts = _ts_int64(t[rtc])
-        b = _bucket(ts)
-        n = len(t)
-        return pa.table(
-            {
-                "__k": t[rk].cast(key_type),
-                "__b": b,
-                "__ts": ts,
-                "__id": pa.array(np.zeros(n, dtype=np.int64)),
-                "__probe": pa.array(np.zeros(n, dtype=np.int8)),
-            }
-        )
+        k = t[rk].cast(key_type)
+        # exact int64 division (epoch-µs timestamps are positive, so
+        # truncation == floor); float division would mis-bucket rows at
+        # exact window boundaries
+        b = ts.to_numpy().astype(np.int64) // w
+        e = b // m
+        zeros = pa.array(np.zeros(len(e), dtype=np.int64))
+        own = _tagged(k, e, ts, zeros, 0)
+        # builds in an epoch's last window also serve next epoch's
+        # first-window probes
+        edge = (b % m) == (m - 1)
+        if edge.any():
+            idx = np.flatnonzero(edge)
+            sub = t.take(idx)
+            dup = _tagged(
+                sub[rk].cast(key_type), e[idx] + 1, _ts_int64(sub[rtc]),
+                pa.array(np.zeros(len(idx), dtype=np.int64)), 0,
+            )
+            return pa.concat_tables([own, dup])
+        return own
 
     def probe(t: pa.Table) -> pa.Table:
         ts = _ts_int64(t[ltc])
-        b = _bucket(ts)
-        n = len(t)
-        k = t[lk].cast(key_type)
-        ids = t[id_col].cast(pa.int64())
-        ones = pa.array(np.ones(n, dtype=np.int8))
-        own = pa.table(
-            {"__k": k, "__b": b, "__ts": ts, "__id": ids, "__probe": ones}
+        e = (ts.to_numpy().astype(np.int64) // w) // m
+        return _tagged(
+            t[lk].cast(key_type), e, ts, t[id_col].cast(pa.int64()), 1
         )
-        prev = pa.table(
-            {
-                "__k": k,
-                "__b": pc.subtract(b, pa.scalar(1, pa.int64())),
-                "__ts": ts,
-                "__id": ids,
-                "__probe": ones,
-            }
-        )
-        return pa.concat_tables([own, prev])
 
     both = right.map_batches(build, batch_format="pyarrow").union(
         left.map_batches(probe, batch_format="pyarrow")
     )
 
-    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        probes = g[g["__probe"] == 1]
-        if probes.empty:
-            return pd.DataFrame({"__id": pd.Series([], dtype=np.int64),
-                                 "__n": pd.Series([], dtype=np.int64)})
-        bts = np.sort(g.loc[g["__probe"] == 0, "__ts"].to_numpy())
-        pts = probes["__ts"].to_numpy()
-        lo = np.searchsorted(bts, pts - w, side="left")
-        hi = np.searchsorted(bts, pts, side="left")
-        return pd.DataFrame(
-            {"__id": probes["__id"].to_numpy(), "__n": (hi - lo).astype(np.int64)}
+    def count_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        is_probe = g["__probe"].to_numpy() == 1
+        ids = g["__id"].to_numpy()[is_probe]
+        if not len(ids):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 out_col: pd.Series([], dtype=np.int64)})
+        ts = g["__ts"].to_numpy()
+        if int((~is_probe).sum()) == 0:
+            return pd.DataFrame(
+                {id_col: ids, out_col: np.zeros(len(ids), dtype=np.int64)}
+            )
+        # densify (key, epoch) pairs to cell ids: one lexsort + run breaks
+        ck, _ = pd.factorize(g["__k"], sort=False)
+        ce = g["__e"].to_numpy()
+        o = np.lexsort((ce, ck))
+        kk, ee = ck[o], ce[o]
+        brk = np.empty(len(o), dtype=bool)
+        brk[0] = True
+        brk[1:] = (kk[1:] != kk[:-1]) | (ee[1:] != ee[:-1])
+        cell = np.empty(len(o), dtype=np.int64)
+        cell[o] = np.cumsum(brk) - 1
+        # (cell, time-rank) composite: rank over the group's build times is
+        # monotone in time, so composite order == (cell, time) order; dense
+        # cells keep cell*shift+rank within int64 (≤ rows² per group)
+        b_cell, b_ts = cell[~is_probe], ts[~is_probe]
+        p_cell, p_ts = cell[is_probe], ts[is_probe]
+        uniq = np.unique(b_ts)
+        shift = np.int64(len(uniq) + 2)
+        comp = np.sort(b_cell * shift + np.searchsorted(uniq, b_ts))
+        r_lo = np.searchsorted(uniq, p_ts - w, side="left")
+        r_hi = np.searchsorted(uniq, p_ts, side="left")
+        base = p_cell * shift
+        cnt = np.searchsorted(comp, base + r_hi, side="left") - np.searchsorted(
+            comp, base + r_lo, side="left"
         )
+        return pd.DataFrame({id_col: ids, out_col: cnt.astype(np.int64)})
 
-    from ray.data.aggregate import Sum as _Sum
-
-    out = (
-        both.groupby(["__k", "__b"])
-        .map_groups(count_in_bucket, batch_format="pandas")
-        .groupby("__id")
-        .aggregate(_Sum("__n", alias_name=out_col))
-    )
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([id_col if c == "__id" else c for c in t.column_names])
-
-    return out.map_batches(rename, batch_format="pyarrow")
+    return both.groupby("__g").map_groups(count_in_group, batch_format="pandas")
