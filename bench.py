@@ -66,6 +66,15 @@ BENCH_QUERIES = [
     # pruning, documented in the query's docstring; the planted-cluster
     # pruning showcase is tests/test_ann_pruning.py.
     "emb_lsh_pairs",
+    # interval/range join: one-shuffle (key, epoch) partitioning — the
+    # trailing-window count over 100k events (see stages/join.py)
+    "events_range_join",
+    # exact 2-pass heavy hitters (Misra-Gries candidates + exact recount)
+    "doc_heavy_tokens",
+    # TF-IDF top terms (batch-local TF + broadcast-or-join IDF)
+    "doc_tfidf_top_terms",
+    # streaming k-means assignment against broadcast trained centroids
+    "emb_kmeans_assign",
 ]
 
 
