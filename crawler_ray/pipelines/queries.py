@@ -2500,6 +2500,72 @@ GROUP BY token, tot.n HAVING COUNT(*) * {HH_FACTOR} > tot.n
 """
 
 
+# ==================================================== sliding window
+SLIDE_HOP_US = 15 * 60 * 1_000_000  # 15-minute hop
+SLIDE_K = 4  # window length = 4 hops = 1 hour
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding (hopping) event-time window: 1 h windows every 15 min.  Each
+    event expands to its K=4 covering windows INSIDE the batch (np.repeat,
+    no flat_map materialization), partial-aggregates per batch, and one
+    small (event_type, window) groupby finishes — the shuffle carries one
+    row per (key, window, block), never K× the events.  Completes the
+    windowed-aggregate family next to tumbling (events_hourly_window) and
+    session (user_sessions) windows."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hop, k = SLIDE_HOP_US, SLIDE_K
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()  # datetime64[us] → µs
+        base = us // hop
+        starts = (
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), len(df))
+        ) * hop
+        g = pd.DataFrame(
+            {
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "ws_us": starts,
+                "value": np.repeat(df["value"].to_numpy(), k),
+            }
+        )
+        return (
+            g.groupby(["event_type", "ws_us"], sort=False)
+            .agg(n=("value", "size"), total_value=("value", "sum"))
+            .reset_index()
+        )
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "ws_us"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value")
+        )
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": pd.to_datetime(df["ws_us"], unit="us"),
+                "n": df["n"].astype(np.int64),
+                "total_value": duck_round(df["total_value"], 2),
+            }
+        )
+
+    return final.map_batches(fin, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = f"""
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // {SLIDE_HOP_US}) - i.i) * {SLIDE_HOP_US})
+         AS window_start,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events, range(0, {SLIDE_K}) i(i)
+GROUP BY 1, 2
+"""
+
+
 # ============================================================ k-means
 KMEANS_CLUSTERS = 16
 KMEANS_ITERS = 8
@@ -2614,10 +2680,13 @@ def q_doc_tfidf_top_terms(sf_dir: str):
 
     tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
     dfreq = tf_rows.groupby("token").aggregate(Count(alias_name="df"))
-    vocab = dfreq.count()
+    # ONE bounded execution decides the path AND fetches the broadcast side:
+    # take(threshold+1) streams at most threshold+1 rows to the driver —
+    # a short read proves the vocab fits, an overflow proves it doesn't
+    # (vs count() + take_all(), which executed the DF pipeline twice)
+    idf_rows = dfreq.take(TFIDF_BROADCAST_VOCAB + 1)
 
-    if vocab <= TFIDF_BROADCAST_VOCAB:
-        idf_rows = dfreq.take_all()  # bounded by the vocab-size threshold
+    if len(idf_rows) <= TFIDF_BROADCAST_VOCAB:
         ref = ray.put({r["token"]: int(r["df"]) for r in idf_rows})
 
         def topk_local(df: pd.DataFrame) -> pd.DataFrame:
@@ -2713,6 +2782,7 @@ QUERIES = {
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "emb_kmeans_assign": q_emb_kmeans_assign,
+    "events_sliding_window": q_events_sliding_window,
 }
 
 
@@ -2768,4 +2838,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_heavy_tokens": SQL_DOC_HEAVY_TOKENS,
         "doc_tfidf_top_terms": SQL_DOC_TFIDF,
         "emb_kmeans_assign": _sql_emb_kmeans(),
+        "events_sliding_window": SQL_EVENTS_SLIDING,
     }
