@@ -2736,6 +2736,215 @@ FROM scored WHERE rnk <= {TFIDF_TOP_K}
 """
 
 
+# ================================================ bloom semi/anti join
+# The reference's Redis seen set is a membership prefilter over URL hashes
+# (/root/reference/crawler/services/url_deduplicator.py); the same idea as
+# a relational operator: a ~1-2 MB Bloom summary of the build side bounds
+# the exact verify join to the hit fraction (stages/bloom.py).
+BLOOM_M_BITS = 1 << 17
+BLOOM_HASHES = 4
+BLOOM_BRAND = "Brand#13"
+
+
+def q_customer_no_events(sf_dir: str):
+    """Bloom-prefiltered exact ANTI-join: customers that never emitted an
+    event.  Certain Bloom misses (most of the probe at decontamination-like
+    selectivities) stream straight to the output with zero shuffle; only
+    the hit fraction goes through the exact distributed verify join, so
+    the output is exact while the exchange carries ~hit-rate of the data."""
+    from crawler_ray.stages.bloom import bloom_semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ev = _read(sf_dir, "events", ["user_id"])
+    return bloom_semi_join(
+        cust, "c_custkey", ev, "user_id",
+        anti=True, m_bits=BLOOM_M_BITS, n_hashes=BLOOM_HASHES,
+    )
+
+
+SQL_CUSTOMER_NO_EVENTS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)
+"""
+
+
+def q_lineitem_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered exact SEMI-join + rollup: revenue per part over
+    lineitems whose part is in the filtered brand set.  At 100-TB scale the
+    brand key set may exceed the exact-broadcast budget while its Bloom
+    summary never does; hits-only enter the partitioned verify join (which
+    removes the false positives), then the usual partial-per-batch
+    integer-cents rollup finishes."""
+    import pyarrow.compute as pc
+
+    from crawler_ray.stages.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], BLOOM_BRAND)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    semi = bloom_semi_join(
+        li, "l_partkey", pt, "p_partkey",
+        m_bits=BLOOM_M_BITS, n_hashes=BLOOM_HASHES,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"l_partkey": df["l_partkey"], "cents": cents})
+        return (
+            g.groupby("l_partkey", sort=False)
+            .agg(cents=("cents", "sum"), n_items=("cents", "size"))
+            .reset_index()
+        )
+
+    final = (
+        semi.map_batches(partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_items", alias_name="n_items"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": df["l_partkey"],
+                "n_items": df["n_items"].astype(np.int64),
+                "revenue": duck_round(df["cents"] / 100.0, 2),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+SQL_LINEITEM_BLOOM_SEMI = f"""
+SELECT l_partkey, COUNT(*) AS n_items,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '{BLOOM_BRAND}')
+GROUP BY l_partkey
+"""
+
+
+# ==================================================== iterative PageRank
+PR_DAMPING = 0.85
+# spelled as its own literal (not 1 - 0.85) so Python and DuckDB parse the
+# IDENTICAL double and the iteration arithmetic matches bit-for-bit
+PR_TELEPORT = 0.15
+PR_ITERS = 4
+PR_PART_NODE_OFFSET = 10_000_000
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Iterative PageRank (damping 0.85, 4 synchronous iterations) over the
+    undirected supplier<->part graph from lineitem (part node ids offset so
+    the two key spaces can't collide; symmetry guarantees outdeg >= 1 and
+    indeg >= 1, so there is no dangling-mass term and no node ever drops
+    out of the rank table).
+
+    Ray-native iterative pattern: the static edge list carries the source
+    out-degree, attached ONCE before the loop; each iteration is exactly
+    one partitioned join (attach current rank by src) plus one
+    partial-per-batch groupby(dst) sum; and the rank table MATERIALIZES per
+    iteration so iteration k+1 reads k's blocks from the object store
+    instead of replaying the whole lineage k times.  The driver never holds
+    ranks — O(nodes) state stays distributed (page-importance ranking is
+    the canonical post-crawl analysis the reference's frontier scoring
+    approximates; SURVEY.md §2 T4 priority scores)."""
+    from crawler_ray.stages.join import attach_unique
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    off = PR_PART_NODE_OFFSET
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) + off
+        pairs = np.stack(
+            [np.concatenate([s, p]), np.concatenate([p, s])], axis=1
+        )
+        u = np.unique(pairs, axis=0)  # in-block dedup shrinks the distinct shuffle
+        return pa.table({"src": u[:, 0], "dst": u[:, 1]})
+
+    edges = (
+        li.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["src", "dst"])
+    )
+    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg")).materialize()
+    n_nodes = deg.count()
+
+    # edge list with the static src out-degree attached once, reused by
+    # every iteration from the object store
+    ewd = attach_unique(edges, deg, "src", "src").materialize()
+
+    ranks = deg.map_batches(
+        lambda t: pa.table(
+            {"node": t["src"], "pr": np.full(len(t), 1.0 / n_nodes)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["pr"].to_numpy() / df["outdeg"].to_numpy()
+        g = pd.DataFrame({"dst": df["dst"].to_numpy(), "w": w})
+        return g.groupby("dst", sort=False).agg(w=("w", "sum")).reset_index()
+
+    for _ in range(PR_ITERS):
+        contrib = (
+            attach_unique(ewd, ranks, "src", "node")
+            .map_batches(partial, batch_format="pandas")
+            .groupby("dst")
+            .aggregate(Sum("w", alias_name="w"))
+        )
+        ranks = contrib.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "pr": PR_TELEPORT / n_nodes
+                    + PR_DAMPING * t["w"].to_numpy(zero_copy_only=False),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "pr": duck_round(t["pr"].to_numpy(), 6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pagerank() -> str:
+    """The identical fixed-iteration recurrence unrolled as CTEs; all
+    arithmetic forced to DOUBLE so DuckDB's decimal literals can't change
+    the float semantics vs the Ray side."""
+    off, d, tele, k = PR_PART_NODE_OFFSET, PR_DAMPING, PR_TELEPORT, PR_ITERS
+    ctes = [
+        f"""edges AS (
+  SELECT l_suppkey AS src, l_partkey + {off} AS dst FROM lineitem
+  UNION
+  SELECT l_partkey + {off} AS src, l_suppkey AS dst FROM lineitem
+)""",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, 1.0::DOUBLE / nn.n AS pr FROM deg, nn)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         {tele}::DOUBLE / MAX(nn.n) + {d}::DOUBLE * SUM(r.pr / d2.outdeg) AS pr
+  FROM edges e
+  JOIN r{i - 1} r ON r.node = e.src
+  JOIN deg d2 ON d2.src = e.src
+  CROSS JOIN nn
+  GROUP BY e.dst
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{k}"
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2783,6 +2992,9 @@ QUERIES = {
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "emb_kmeans_assign": q_emb_kmeans_assign,
     "events_sliding_window": q_events_sliding_window,
+    "customer_no_events": q_customer_no_events,
+    "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
+    "graph_pagerank": q_graph_pagerank,
 }
 
 
@@ -2839,4 +3051,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_top_terms": SQL_DOC_TFIDF,
         "emb_kmeans_assign": _sql_emb_kmeans(),
         "events_sliding_window": SQL_EVENTS_SLIDING,
+        "customer_no_events": SQL_CUSTOMER_NO_EVENTS,
+        "lineitem_bloom_semijoin": SQL_LINEITEM_BLOOM_SEMI,
+        # fixed-iteration recurrence unrolled as CTEs (exact, not approx)
+        "graph_pagerank": _sql_pagerank(),
     }
