@@ -75,6 +75,14 @@ BENCH_QUERIES = [
     "doc_tfidf_top_terms",
     # streaming k-means assignment against broadcast trained centroids
     "emb_kmeans_assign",
+    # hopping-window aggregate (each event expands to its K covering
+    # windows inside the batch; shuffle carries one row per key/window/block)
+    "events_sliding_window",
+    # bloom-prefiltered exact anti-join: misses bypass the exchange
+    "customer_no_events",
+    # 4-iteration PageRank: per-iteration partitioned join + groupby sum,
+    # ranks materialized between iterations (no lineage replay)
+    "graph_pagerank",
 ]
 
 
