@@ -2850,10 +2850,16 @@ def q_graph_pagerank(sf_dir: str):
     ranks — O(nodes) state stays distributed (page-importance ranking is
     the canonical post-crawl analysis the reference's frontier scoring
     approximates; SURVEY.md §2 T4 priority scores)."""
-    from crawler_ray.stages.join import attach_unique
+    from crawler_ray.stages.join import attach_unique, bucket_ids
 
     li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
     off = PR_PART_NODE_OFFSET
+    # sized from row-count metadata (no execution): distinct edges <= 2x rows
+    n_li = li.count()
+    # join/shuffle fan-out sized to the edge volume: 32 buckets are pure
+    # overhead for thousand-row graphs but right for billion-edge ones
+    jbuckets = int(max(1, min(32, (2 * n_li) // 100_000 + 1)))
+    eblocks = int(max(1, min(512, (2 * n_li) // 200_000 + 1)))
 
     def to_edges(t: pa.Table) -> pa.Table:
         s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2862,50 +2868,104 @@ def q_graph_pagerank(sf_dir: str):
             [np.concatenate([s, p]), np.concatenate([p, s])], axis=1
         )
         u = np.unique(pairs, axis=0)  # in-block dedup shrinks the distinct shuffle
-        return pa.table({"src": u[:, 0], "dst": u[:, 1]})
+        out = pa.table({"src": u[:, 0], "dst": u[:, 1]})
+        b = bucket_ids(u[:, 0], jbuckets)
+        return out.append_column("__bucket", pa.array(b, type=pa.int64()))
 
-    edges = (
-        li.map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="__c"))
-        .select_columns(["src", "dst"])
-    )
-    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg")).materialize()
-    n_nodes = deg.count()
-
-    # edge list with the static src out-degree attached once, reused by
-    # every iteration from the object store
-    ewd = attach_unique(edges, deg, "src", "src").materialize()
-
-    ranks = deg.map_batches(
-        lambda t: pa.table(
-            {"node": t["src"], "pr": np.full(len(t), 1.0 / n_nodes)}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = df["pr"].to_numpy() / df["outdeg"].to_numpy()
-        g = pd.DataFrame({"dst": df["dst"].to_numpy(), "w": w})
-        return g.groupby("dst", sort=False).agg(w=("w", "sum")).reset_index()
-
-    for _ in range(PR_ITERS):
-        contrib = (
-            attach_unique(ewd, ranks, "src", "node")
-            .map_batches(partial, batch_format="pandas")
-            .groupby("dst")
-            .aggregate(Sum("w", alias_name="w"))
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        # bucketed by hash(src), so a bucket holds ALL copies of its edges
+        # AND all edges of its src nodes: one pass gives the global distinct
+        # edge set and the exact src out-degree — edges-distinct + degree +
+        # degree-attach fused into a single shuffle (a 2-key sort groupby
+        # followed by two more exchanges measured 6x slower)
+        pairs = np.stack(
+            [
+                t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
         )
-        ranks = contrib.map_batches(
+        u = np.unique(pairs, axis=0)
+        src = u[:, 0]
+        _, inv, counts = np.unique(src, return_inverse=True, return_counts=True)
+        return pa.table(
+            {"src": src, "dst": u[:, 1], "outdeg": counts[inv]}
+        )
+
+    # edge list with the static src out-degree attached, built once and
+    # reused by every iteration from the object store.  Block counts of
+    # everything the loop re-reads are BOUNDED by a data-sized coalesce:
+    # groupby/map_groups outputs inherit ~one block per input block, and
+    # without it each iteration COMPOUNDS tiny blocks and task-launch
+    # overhead grows per iteration (measured 2-3x per iteration).
+    ewd = (
+        li.map_batches(to_edges, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .repartition(eblocks)
+        .materialize()
+    )
+
+    # node table: per-block unique srcs (blocks may straddle buckets after
+    # the coalesce, so a tiny global groupby dedups across blocks)
+    nodes = (
+        ewd.map_batches(
             lambda t: pa.table(
-                {
-                    "node": t["dst"],
-                    "pr": PR_TELEPORT / n_nodes
-                    + PR_DAMPING * t["w"].to_numpy(zero_copy_only=False),
-                }
+                {"node": np.unique(t["src"].to_numpy(zero_copy_only=False))}
             ),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="__c"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    rblocks = int(max(1, min(512, n_nodes // 100_000 + 1)))
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "pr": np.full(len(t), 1.0 / n_nodes)}
+        ),
+        batch_format="pyarrow",
+    ).repartition(rblocks).materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: feeding pandas blocks into a downstream
+        # exchange forces Ray's shuffle onto its pandas path (measured 16x
+        # slower on identical rows).  Pre-aggregate per block, then route
+        # by hash(dst) so the final per-dst sum is a cheap hash-bucketed
+        # map_groups instead of a whole-dataset sort.
+        w = t["pr"].to_numpy(zero_copy_only=False) / t["outdeg"].to_numpy(
+            zero_copy_only=False
+        )
+        g = pa.table({"dst": t["dst"], "w": w}).group_by("dst").aggregate(
+            [("w", "sum")]
+        )
+        b = bucket_ids(g["dst"].to_numpy(zero_copy_only=False), jbuckets)
+        return pa.table(
+            {"dst": g["dst"], "w": g["w_sum"], "__bucket": b}
+        )
+
+    def finish_bucket(t: pa.Table) -> pa.Table:
+        # all partial sums of a dst land in its hash bucket: exact finish
+        g = pa.table({"dst": t["dst"], "w": t["w"]}).group_by("dst").aggregate(
+            [("w", "sum")]
+        )
+        pr = PR_TELEPORT / n_nodes + PR_DAMPING * g["w_sum"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({"node": g["dst"], "pr": pr})
+
+    for _ in range(PR_ITERS):
+        ranks = (
+            attach_unique(ewd, ranks, "src", "node", n_buckets=jbuckets)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(finish_bucket, batch_format="pyarrow")
+            .repartition(rblocks)
+            .materialize()
+        )
 
     return ranks.map_batches(
         lambda t: pa.table(
