@@ -2516,27 +2516,37 @@ def q_events_sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     hop, k = SLIDE_HOP_US, SLIDE_K
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        us = df["ts"].astype("int64").to_numpy()  # datetime64[us] → µs
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow out: pandas partial blocks would force the
+        # downstream shuffle onto Ray's pandas path (measured 16x slower)
+        us = t["ts"].cast(pa.int64()).to_numpy()  # timestamp[us] → µs
         base = us // hop
         starts = (
-            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), len(df))
+            np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), len(us))
         ) * hop
-        g = pd.DataFrame(
-            {
-                "event_type": np.repeat(df["event_type"].to_numpy(), k),
-                "ws_us": starts,
-                "value": np.repeat(df["value"].to_numpy(), k),
-            }
+        idx = np.repeat(np.arange(len(us), dtype=np.int64), k)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"].take(pa.array(idx)),
+                    "ws_us": starts,
+                    "value": t["value"].take(pa.array(idx)),
+                }
+            )
+            .group_by(["event_type", "ws_us"])
+            .aggregate([("ws_us", "count"), ("value", "sum")])
         )
-        return (
-            g.groupby(["event_type", "ws_us"], sort=False)
-            .agg(n=("value", "size"), total_value=("value", "sum"))
-            .reset_index()
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "ws_us": g["ws_us"],
+                "n": g["ws_us_count"],
+                "total_value": g["value_sum"],
+            }
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "ws_us"])
         .aggregate(
             Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value")
