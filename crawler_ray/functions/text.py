@@ -174,3 +174,47 @@ def rolling_fingerprint(tokens: list[str], window: int = 8, base: int = 1_000_00
         if best is None or acc < best:
             best = acc
     return best
+
+
+def edit_distance_batch(a, b) -> np.ndarray:
+    """Levenshtein distance for each aligned pair ``(a[i], b[i])``,
+    vectorized ACROSS the pair axis (the scale axis): the classic DP runs
+    as O(max_len_a x max_len_b) numpy steps, each touching all pairs at
+    once — never a Python loop per pair.  Padded cells never feed the
+    answer cell (DP cell (i, j) only reads cells with smaller i/j), so one
+    shared DP over the padded code matrices is exact for every pair.
+
+    Used by the fuzzy string-similarity join (queries.py
+    ``part_fuzzy_pairs``); unit-tested against a scalar reference DP in
+    tests/test_fuzzy_join.py."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    maxa, maxb = int(la.max()), int(lb.max())
+    # numpy unicode arrays are fixed-width UCS4: a zero-copy-ish padded
+    # code-point matrix per side
+    A = (np.array(list(a), dtype=f"U{max(maxa, 1)}")
+         .view(np.uint32).reshape(n, max(maxa, 1)))
+    B = (np.array(list(b), dtype=f"U{max(maxb, 1)}")
+         .view(np.uint32).reshape(n, max(maxb, 1)))
+    ans = np.where(la == 0, lb, 0).astype(np.int64)
+    ans[lb == 0] = la[lb == 0]
+    prev = np.broadcast_to(np.arange(maxb + 1, dtype=np.int64), (n, maxb + 1)).copy()
+    # rows where la == 0 were answered above; DP rows 1..maxa
+    for i in range(1, maxa + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, maxb + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        done = (la == i) & (lb > 0)
+        if done.any():
+            ans[done] = cur[done, lb[done]]
+        prev = cur
+    return ans

@@ -3015,6 +3015,348 @@ def _sql_pagerank() -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{k}"
 
 
+# ================================================================ window
+# functions / rollup / pivot / fuzzy join / JSON extraction (round 4
+# additions: the general windowed-analytics + OLAP shapes a training-data
+# pipeline needs beyond the reference's fixed operator set)
+
+
+def q_events_window_rank(sf_dir: str):
+    """Per-key window functions — row_number, lag delta, running sum — the
+    general analytic-window shape (SURVEY.md §2.9 partition-order-window
+    guidance; the reference's closest analogue is per-sequence pagination
+    state, crawler/utils/pagination.py:441-537).  Keys are hash-bucketed so
+    each Ray group is one vectorized pandas pass over many users (never a
+    Python call per user); all outputs are integral (microsecond gaps,
+    cent-exact running sums) so the oracle compare is bit-exact."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        _cpus = 16
+    n_buckets = 32
+    while n_buckets < 2 * _cpus:
+        n_buckets <<= 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(t["user_id"], n_buckets - 1)
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    def windows(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rn = df.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        ts_us = df["ts"].astype("int64").to_numpy()
+        gap_us = np.diff(ts_us, prepend=np.int64(0))
+        gap_us[rn == 1] = -1  # COALESCE(lag-delta, -1): no nulls to compare
+        cents = duck_round(df["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        cum = (
+            pd.Series(cents, index=df.index)
+            .groupby(df["user_id"], sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "rn": rn.astype(np.int64),
+                "gap_us": gap_us,
+                "cum_cents": cum,
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_WINDOW_RANK = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), -1) AS gap_us,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: subtotals at (returnflag,
+    linestatus), (returnflag) and grand total.  One distributed
+    partial-per-batch pass computes the FINEST level; the coarser levels
+    are derived from that bounded result by algebraic re-aggregation
+    (sums of sums) — the cube never rescans or reshuffles the fact table."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(n=("l_quantity", "size"), sum_qty=("l_quantity", "sum"),
+                 sum_price=("l_extendedprice", "sum"))
+            .reset_index()
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"))
+    ).to_pandas()  # bounded: |returnflag| x |linestatus| groups
+
+    lvl1 = (
+        fine.groupby("l_returnflag", as_index=False)[["n", "sum_qty", "sum_price"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n": [fine["n"].sum()],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "sum_price": [fine["sum_price"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price"]
+    ]
+    out["sum_qty"] = duck_round(out["sum_qty"], 2)
+    out["sum_price"] = duck_round(out["sum_price"], 2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_LINEITEM_ROLLUP = """
+WITH fine AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         SUM(l_quantity) AS sq, SUM(l_extendedprice) AS sp
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       ROUND(sq, 2) AS sum_qty, ROUND(sp, 2) AS sum_price FROM fine
+UNION ALL
+SELECT l_returnflag, 'ALL', CAST(SUM(n) AS BIGINT),
+       ROUND(SUM(sq), 2), ROUND(SUM(sp), 2) FROM fine GROUP BY 1
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(SUM(n) AS BIGINT),
+       ROUND(SUM(sq), 2), ROUND(SUM(sp), 2) FROM fine
+"""
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot (long -> wide conditional aggregation): per-user event counts
+    by type as columns + total value.  The pivot happens INSIDE the
+    per-batch partial (crosstab against the fixed category list), so the
+    shuffle moves one wide row per (user, block) instead of the event
+    stream."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = pd.crosstab(df["user_id"], df["event_type"])
+        for t in PIVOT_EVENT_TYPES:
+            if t not in piv.columns:
+                piv[t] = 0
+        piv = piv[PIVOT_EVENT_TYPES].astype("int64")
+        piv.columns = [f"n_{t}" for t in PIVOT_EVENT_TYPES]
+        piv["value_sum"] = df.groupby("user_id", sort=False)["value"].sum()
+        return piv.reset_index()
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
+    aggs.append(Sum("value_sum", alias_name="total_value"))
+    final = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+    return final.map_batches(
+        lambda df: df.assign(total_value=duck_round(df["total_value"], 2)),
+        batch_format="pandas",
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+FUZZY_MAX_DIST = 2
+
+
+def q_part_fuzzy_pairs(sf_dir: str):
+    """Fuzzy string-similarity self-join: distinct part names within
+    Levenshtein distance <= 2, with occurrence counts.  Plan: (1) distinct
+    names + counts via partial-per-batch groupby (the classic
+    distinct-first reduction — the join runs over the NAME VOCABULARY, not
+    the rows); (2) length-banded blocking: a pair with |len(a) - len(b)|
+    <= d must share the band min(len a, len b), so each name is emitted to
+    bands [len-d, len] and every pair is generated in EXACTLY one band (the
+    shorter side's length) — no cross-band pairs, no global all-pairs; (3)
+    per-band candidate pairs verified by the pair-axis-vectorized DP
+    (functions/text.py::edit_distance_batch).  Hot bands (many same-length
+    names) are the salting point at vocabulary scale."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_name", sort=False).size().reset_index(name="n")
+
+    names = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_name")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["p_name"].str.len().to_numpy()
+        reps = []
+        for d in range(FUZZY_MAX_DIST + 1):
+            band = ln - d
+            keep = band >= 0
+            reps.append(
+                pd.DataFrame(
+                    {
+                        "band": band[keep],
+                        "p_name": df["p_name"].to_numpy()[keep],
+                        "n": df["n"].to_numpy()[keep],
+                        "ln": ln[keep],
+                    }
+                )
+            )
+        return pd.concat(reps, ignore_index=True)
+
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.functions.text import edit_distance_batch
+
+        empty = pd.DataFrame(
+            {
+                "name_a": pd.Series(dtype=object),
+                "name_b": pd.Series(dtype=object),
+                "dist": pd.Series(dtype="int64"),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        band = int(df["band"].iloc[0])
+        nm = df["p_name"].to_numpy()
+        ln = df["ln"].to_numpy()
+        cnt = df["n"].to_numpy()
+        i, j = np.triu_indices(len(nm), k=1)
+        # a pair's canonical band is min(len a, len b): keep it only here
+        keep = np.minimum(ln[i], ln[j]) == band
+        i, j = i[keep], j[keep]
+        if len(i) == 0:
+            return empty
+        # canonical orientation name_a < name_b
+        swap = nm[i] > nm[j]
+        ia = np.where(swap, j, i)
+        ib = np.where(swap, i, j)
+        dist = edit_distance_batch(nm[ia].tolist(), nm[ib].tolist())
+        ok = dist <= FUZZY_MAX_DIST
+        return pd.DataFrame(
+            {
+                "name_a": nm[ia[ok]],
+                "name_b": nm[ib[ok]],
+                "dist": dist[ok],
+                "n_a": cnt[ia[ok]],
+                "n_b": cnt[ib[ok]],
+            }
+        )
+
+    return (
+        names.map_batches(to_bands, batch_format="pandas")
+        .groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
+    )
+
+
+SQL_PART_FUZZY_PAIRS = f"""
+WITH names AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY 1)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+_PROPS_K_RE = re.compile(r'"k"\s*:\s*(-?\d+)')
+
+
+def q_events_props_extract(sf_dir: str):
+    """JSON field extraction + grouped stats over the extracted value —
+    the reference's dot-path JSON navigation (M13,
+    crawler/services/selector_processor.py:178-226) applied table-wide.
+    Flat numeric fields extract via one compiled vectorized regex
+    (pandas .str.extract — no per-row json.loads on the hot path); the
+    general nested case falls back to functions/selectors.json_path."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(_PROPS_K_RE, expand=False), errors="coerce"
+        )
+        sub = pd.DataFrame({"event_type": df["event_type"], "k": k}).dropna()
+        if sub.empty:  # typed empty block keeps the stream's schema stable
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64"),
+                 "sum_k": pd.Series(dtype="int64"),
+                 "min_k": pd.Series(dtype="int64"),
+                 "max_k": pd.Series(dtype="int64")}
+            )
+        sub["k"] = sub["k"].astype("int64")
+        return (
+            sub.groupby("event_type", sort=False)["k"]
+            .agg(n="size", sum_k="sum", min_k="min", max_k="max")
+            .reset_index()
+        )
+
+    final = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(avg_k=duck_round(df["sum_k"] / df["n"], 4))
+        return df.drop(columns=["sum_k"])
+
+    return final.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_PROPS_EXTRACT = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       ROUND(SUM(k) * 1.0 / COUNT(*), 4) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -3065,6 +3407,11 @@ QUERIES = {
     "customer_no_events": q_customer_no_events,
     "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
     "graph_pagerank": q_graph_pagerank,
+    "events_window_rank": q_events_window_rank,
+    "lineitem_rollup": q_lineitem_rollup,
+    "events_pivot": q_events_pivot,
+    "part_fuzzy_pairs": q_part_fuzzy_pairs,
+    "events_props_extract": q_events_props_extract,
 }
 
 
@@ -3125,4 +3472,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_bloom_semijoin": SQL_LINEITEM_BLOOM_SEMI,
         # fixed-iteration recurrence unrolled as CTEs (exact, not approx)
         "graph_pagerank": _sql_pagerank(),
+        "events_window_rank": SQL_EVENTS_WINDOW_RANK,
+        "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+        "events_pivot": SQL_EVENTS_PIVOT,
+        "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
+        "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
     }
