@@ -3357,6 +3357,166 @@ WHERE k IS NOT NULL GROUP BY event_type
 """
 
 
+WSAMPLE_K = 200
+
+
+def q_lineitem_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES,
+    'Weighted random sampling with a reservoir', IPL 2006): each row gets
+    an exponential race key -ln(u)/w and the global k smallest keys are
+    the sample.  u is a pure md5 hash of the row id (the doc_sample
+    determinism discipline: no RNG state, parallelism-invariant, DuckDB
+    recomputes the identical sample; at 100 TB swap in a vectorized
+    siphash on int64 ids).  Per-batch partial top-k bounds the shuffle to
+    k rows per block; the race key never appears in the output, so the
+    compare is robust to last-ulp libm drift."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = (
+            df["l_orderkey"].to_numpy(np.int64) * 10
+            + df["l_linenumber"].to_numpy(np.int64)
+        )
+        hv = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        u = (hv + 0.5) / 4294967296.0
+        df = df.assign(key=-np.log(u) / df["l_quantity"].to_numpy(np.float64))
+        if len(df) > WSAMPLE_K:  # partial top-k: only k rows can survive
+            df = df.nsmallest(WSAMPLE_K, ["key", "l_orderkey", "l_linenumber"])
+        return df
+
+    out = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .sort(["key", "l_orderkey", "l_linenumber"])
+        .limit(WSAMPLE_K)
+    )
+    return out.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "l_quantity"]],
+        batch_format="pandas",
+    )
+
+
+SQL_LINEITEM_WSAMPLE = f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         -ln((CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)
+           / l_quantity AS key
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, l_quantity FROM s
+ORDER BY key, l_orderkey, l_linenumber LIMIT {WSAMPLE_K}
+"""
+
+
+BM25_QUERY_TERMS = ["hash", "join", "stream"]
+BM25_TOP = 20
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval: top-k documents for a fixed query-term set
+    (Robertson-Sparck Jones BM25, k1=1.2 b=0.75).  Two streaming passes:
+    (1) per-batch doc stats (length + per-term tf, tokenization local to
+    the batch) feeding a THREE-NUMBER global aggregate (N, sum dl, df per
+    query term — |Q|+2 scalars to the driver, never rows); (2) scoring
+    with the broadcast scalars + per-batch partial top-k, then a global
+    sort-limit over <= k rows per block.  Scores stay unrounded through
+    the ordering (deterministic doc_id tie-break) and round only in the
+    output."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "dl": toks.map(len).astype("int64").to_numpy(),
+            }
+        )
+        for t in BM25_QUERY_TERMS:
+            out[f"tf_{t}"] = toks.map(lambda ts, t=t: ts.count(t)).astype("int64").to_numpy()
+        return out
+
+    stats = ds.map_batches(doc_stats, batch_format="pandas")
+    aggs = [Count(alias_name="n"), Sum("dl", alias_name="sum_dl")]
+    flag_cols = {}
+    for t in BM25_QUERY_TERMS:
+        flag_cols[f"nz_{t}"] = t
+        aggs.append(Sum(f"nz_{t}", alias_name=f"df_{t}"))
+
+    def with_flags(df: pd.DataFrame) -> pd.DataFrame:
+        for fc, t in flag_cols.items():
+            df = df.assign(**{fc: (df[f"tf_{t}"] > 0).astype("int64")})
+        return df
+
+    glob = stats.map_batches(with_flags, batch_format="pandas").aggregate(*aggs)
+    n_docs = int(glob["n"])
+    avgdl = float(glob["sum_dl"]) * 1.0 / n_docs
+    idf = {
+        t: float(np.log(1.0 + (n_docs - glob[f"df_{t}"] + 0.5)
+                        / (glob[f"df_{t}"] + 0.5)))
+        for t in BM25_QUERY_TERMS
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = doc_stats(df)
+        dl = df["dl"].to_numpy(np.float64)
+        s = np.zeros(len(df), dtype=np.float64)
+        norm = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        for t in BM25_QUERY_TERMS:
+            tf = df[f"tf_{t}"].to_numpy(np.float64)
+            s = s + idf[t] * tf * 2.2 / (tf + norm)
+        out = pd.DataFrame({"doc_id": df["doc_id"], "score": s})
+        if len(out) > BM25_TOP:  # partial top-k
+            out = out.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(BM25_TOP)
+        return out
+
+    ranked = (
+        ds.map_batches(score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(BM25_TOP)
+    )
+    return ranked.map_batches(
+        lambda df: df.assign(score=duck_round(df["score"], 6)),
+        batch_format="pandas",
+    )
+
+
+def _sql_doc_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+             FROM documents),
+dl AS (SELECT d.doc_id, COALESCE(c.cnt, 0) AS dl
+       FROM documents d LEFT JOIN
+            (SELECT doc_id, COUNT(*) AS cnt FROM tok GROUP BY 1) c
+            ON d.doc_id = c.doc_id),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+       WHERE token IN ({terms}) GROUP BY 1, 2),
+stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                 (SELECT SUM(dl) * 1.0 / COUNT(*) FROM dl) AS avgdl),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1e0 + (stats.n - dfq.df + 0.5e0) / (dfq.df + 0.5e0))
+             * tf.tf * 2.2e0
+             / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), stats
+  GROUP BY 1)
+SELECT doc_id, ROUND(score, 6) AS score FROM (
+  SELECT d.doc_id, COALESCE(s.score, 0e0) AS score
+  FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id)
+ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -3412,6 +3572,8 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "events_props_extract": q_events_props_extract,
+    "lineitem_weighted_sample": q_lineitem_weighted_sample,
+    "doc_bm25_topk": q_doc_bm25_topk,
 }
 
 
@@ -3477,4 +3639,6 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "part_fuzzy_pairs": SQL_PART_FUZZY_PAIRS,
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+        "lineitem_weighted_sample": SQL_LINEITEM_WSAMPLE,
+        "doc_bm25_topk": _sql_doc_bm25(),
     }
