@@ -83,6 +83,16 @@ BENCH_QUERIES = [
     # 4-iteration PageRank: per-iteration partitioned join + groupby sum,
     # ranks materialized between iterations (no lineage replay)
     "graph_pagerank",
+    # analytic window functions (row_number / lag / running sum) over
+    # hash-bucketed keys
+    "events_window_rank",
+    # long-to-wide pivot with the conditional aggregation inside the
+    # per-batch partial
+    "events_pivot",
+    # A-ES weighted sampling without replacement (deterministic race keys)
+    "lineitem_weighted_sample",
+    # BM25 ranked retrieval (two streaming passes + broadcast scalars)
+    "doc_bm25_topk",
 ]
 
 

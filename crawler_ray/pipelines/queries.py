@@ -2181,6 +2181,79 @@ def _sql_media_decode() -> str:
     )
 
 
+def q_media_frame_sample(sf_dir: str):
+    """Crawl -> video spans -> actor-pool FRAME SAMPLING: each media span
+    becomes a VSEQ multi-frame container (real per-frame PNGs), the stage
+    samples k frames uniformly (deterministic indices) and REAL-decodes
+    each sampled frame (one output row per frame — the flat_map expansion
+    shape).  ``thumb_sum`` depends on decoded frame content, so the
+    golden-VALUES oracle verifies the distributed split+sample+decode
+    bit-for-bit."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import FrameSampleStage, video_rows_from_spans
+
+    web = MiniWeb(n_docs=100)
+    res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
+
+    def thumb_sums(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(t["thumb"]).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(t["thumb"]).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        sums = (np.add.reduceat(flat.astype(np.int64), offs)
+                if len(flat) else np.zeros(len(t), dtype=np.int64))
+        return t.append_column("thumb_sum", pa.array(sums, type=pa.int64()))
+
+    return (
+        res.pages.map_batches(video_rows_from_spans, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"k": 4},
+            batch_size=8, concurrency=2, num_cpus=1, batch_format="pyarrow",
+        )
+        .map_batches(thumb_sums, batch_format="pyarrow")
+        .select_columns(["media_ref", "n_frames", "frame_idx", "thumb_sum"])
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_media_frame_sample() -> str:
+    """Golden-derived VALUES oracle: replay the crawl sequentially, then
+    split+sample+decode every video container with the pure stdlib codec
+    (no Ray) — verifying the distributed frame-sampling stage
+    bit-for-bit."""
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import (
+        FrameSampleStage,
+        sample_frame_indices,
+        split_video_frames,
+        video_payload,
+    )
+
+    res = golden_crawl(MiniWeb(n_docs=100), budget_per_host=16, max_rounds=24)
+    stage = FrameSampleStage(k=4)
+    rows = []
+    for p in res.pages:
+        for s in p["spans"]:
+            if s["kind"] == "media" and s["media_ref"]:
+                frames = split_video_frames(video_payload(s["media_ref"]))
+                for idx in sample_frame_indices(len(frames), 4):
+                    thumb, _f, _h, _w = stage._decoder._decode_png_one(frames[idx])
+                    rows.append(
+                        "('{}', {}, {}, {})".format(
+                            s["media_ref"].replace("'", "''"),
+                            len(frames), idx, int(thumb.astype(int).sum()),
+                        )
+                    )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_ref, "
+        "n_frames, frame_idx, thumb_sum)"
+    )
+
+
 # ===================================================== quantiles / sampling
 
 
@@ -3574,6 +3647,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "lineitem_weighted_sample": q_lineitem_weighted_sample,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 
@@ -3641,4 +3715,5 @@ def oracle_sql() -> dict[str, str]:
         "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
         "lineitem_weighted_sample": SQL_LINEITEM_WSAMPLE,
         "doc_bm25_topk": _sql_doc_bm25(),
+        "media_frame_sample": _sql_media_frame_sample(),
     }

@@ -90,6 +90,70 @@ def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096,
     )
 
 
+VIDEO_MAGIC = b"VSEQ"
+
+
+def video_payload(media_ref: str, n_frames: int | None = None,
+                  h: int = 24, w: int = 32) -> bytes:
+    """Deterministic multi-frame "video" container keyed by media_ref:
+    ``VSEQ`` magic + uint32 frame count + length-prefixed per-frame REAL
+    PNGs (frame i keyed by ``{media_ref}#f{i}``) — the sandbox stand-in
+    for a fetched video blob.  Frame count derives from the ref hash
+    (1..24) unless pinned."""
+    if n_frames is None:
+        n_frames = 1 + int.from_bytes(
+            hashlib.md5(media_ref.encode()).digest()[:2], "big") % 24
+    parts = [VIDEO_MAGIC, n_frames.to_bytes(4, "big")]
+    for i in range(n_frames):
+        p = png_payload(f"{media_ref}#f{i}", h, w)
+        parts.append(len(p).to_bytes(4, "big"))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Parse the VSEQ container back into per-frame PNG byte strings."""
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a VSEQ container")
+    n = int.from_bytes(payload[4:8], "big")
+    frames, off = [], 8
+    for _ in range(n):
+        ln = int.from_bytes(payload[off:off + 4], "big")
+        off += 4
+        frames.append(payload[off:off + ln])
+        off += ln
+    if off != len(payload):
+        raise ValueError("trailing bytes in VSEQ container")
+    return frames
+
+
+def sample_frame_indices(n_frames: int, k: int) -> list[int]:
+    """Uniform deterministic frame sample: floor(j * n / k) for j < k
+    (strictly increasing when n >= k); all frames when n < k."""
+    if n_frames <= k:
+        return list(range(n_frames))
+    return [(j * n_frames) // k for j in range(k)]
+
+
+def video_rows_from_spans(batch: pa.Table) -> pa.Table:
+    """pages(spans) -> video table rows (one per media span), payload
+    "fetched" as a deterministic VSEQ multi-frame container."""
+    refs = []
+    for spans in batch["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] == "media" and s["media_ref"]:
+                refs.append(s["media_ref"])
+    payloads = [video_payload(r) for r in refs]
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "kind": pa.array(["video"] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
 class MediaDecodeStage:
     """Actor-pool decode/feature stage.
 
@@ -176,4 +240,62 @@ class MediaDecodeStage:
             .append_column("thumb_w", pa.array([w] * len(batch), type=pa.int32()))
             .append_column("img_h", pa.array(img_hs, type=pa.int32()))
             .append_column("img_w", pa.array(img_ws, type=pa.int32()))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame-sampling stage: split the VSEQ container,
+    sample k frames uniformly (deterministic indices — no RNG), REAL-decode
+    each sampled frame with the stdlib PNG codec, and emit ONE ROW PER
+    SAMPLED FRAME (flat_map-shaped expansion inside map_batches).
+
+    Usage::
+
+        video_ds.map_batches(FrameSampleStage, fn_constructor_kwargs=
+                             {"k": 4}, batch_size=8, concurrency=4,
+                             num_cpus=1, batch_format="pyarrow")
+
+    Decode state (codec binding, pooling geometry) is built once per actor
+    in ``__init__``; payloads are wide, so callers keep ``batch_size``
+    small (SURVEY.md §7.4 wide-rows note).  Real ffmpeg decode would drop
+    in behind the same signature (``codec="ffmpeg"`` raises
+    :class:`MediaCodecUnavailable` in this sandbox)."""
+
+    def __init__(self, k: int = 4, codec: str = "png",
+                 target_size: tuple[int, int] = (8, 8),
+                 feature_dim: int = 16) -> None:
+        if codec == "ffmpeg":
+            raise MediaCodecUnavailable(
+                "codec 'ffmpeg' needs libraries not present in this sandbox; "
+                "use codec='png' (VSEQ container of real PNG frames)"
+            )
+        if codec != "png":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.k = k
+        self._decoder = MediaDecodeStage(
+            codec="png", target_size=target_size, feature_dim=feature_dim
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, n_frames_col, idxs_col = [], [], []
+        thumbs, feats = [], []
+        for ref, payload in zip(
+            batch["media_ref"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames = split_video_frames(payload)
+            for idx in sample_frame_indices(len(frames), self.k):
+                thumb, feat, _ih, _iw = self._decoder._decode_png_one(frames[idx])
+                refs.append(ref)
+                n_frames_col.append(len(frames))
+                idxs_col.append(idx)
+                thumbs.append(thumb.reshape(-1).tolist())
+                feats.append(feat.tolist())
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, type=pa.string()),
+                "n_frames": pa.array(n_frames_col, type=pa.int64()),
+                "frame_idx": pa.array(idxs_col, type=pa.int64()),
+                "thumb": pa.array(thumbs, type=pa.list_(pa.uint8())),
+                "features": pa.array(feats, type=pa.list_(pa.float32())),
+            }
         )

@@ -91,3 +91,60 @@ def test_media_pipeline(ray_session):
 
     with pytest.raises(MediaCodecUnavailable):
         MediaDecodeStage(codec="pil")
+
+
+def test_video_container_roundtrip():
+    from crawler_ray.stages.media import (
+        split_video_frames,
+        video_payload,
+    )
+
+    p = video_payload("m://host/vid7")
+    frames = split_video_frames(p)
+    assert 1 <= len(frames) <= 24
+    # frames are real PNGs, each decodable and distinct
+    from crawler_ray.functions.png import decode_png_gray
+
+    imgs = [decode_png_gray(f) for f in frames]
+    assert all(i.shape == (24, 32) for i in imgs)
+    if len(imgs) > 1:
+        assert not (imgs[0] == imgs[1]).all()
+
+
+def test_sample_frame_indices_uniform():
+    from crawler_ray.stages.media import sample_frame_indices
+
+    assert sample_frame_indices(3, 4) == [0, 1, 2]
+    assert sample_frame_indices(4, 4) == [0, 1, 2, 3]
+    assert sample_frame_indices(10, 4) == [0, 2, 5, 7]
+    idx = sample_frame_indices(24, 4)
+    assert idx == sorted(set(idx)) and len(idx) == 4
+
+
+def test_frame_sample_stage_rows(ray_session):
+    import pyarrow as pa
+
+    from crawler_ray.stages.media import (
+        FrameSampleStage,
+        sample_frame_indices,
+        split_video_frames,
+        video_payload,
+    )
+
+    refs = [f"m://h/{i}" for i in range(6)]
+    payloads = [video_payload(r) for r in refs]
+    t = pa.table({"media_ref": refs,
+                  "payload": pa.array(payloads, type=pa.binary())})
+    out = FrameSampleStage(k=4)(t)
+    # one row per sampled frame, indices exactly the deterministic sample
+    got = {}
+    for ref, n, idx in zip(out["media_ref"].to_pylist(),
+                           out["n_frames"].to_pylist(),
+                           out["frame_idx"].to_pylist()):
+        got.setdefault(ref, (n, []))[1].append(idx)
+    for r, p in zip(refs, payloads):
+        n = len(split_video_frames(p))
+        assert got[r][0] == n
+        assert got[r][1] == sample_frame_indices(n, 4)
+    # thumbs are 8x8 decoded content
+    assert all(len(x) == 64 for x in out["thumb"].to_pylist())
