@@ -2254,6 +2254,58 @@ def _sql_media_frame_sample() -> str:
     )
 
 
+def q_media_audio_features(sf_dir: str):
+    """Crawl -> audio spans -> actor-pool WAV decode + feature extraction
+    (real stdlib RIFF/WAVE parse; integer-exact features — zero crossings,
+    peak, energy, duration — so the golden-VALUES oracle verifies the
+    distributed decode bit-for-bit)."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import AudioFeatureStage, audio_rows_from_spans
+
+    web = MiniWeb(n_docs=100)
+    res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
+    return (
+        res.pages.map_batches(audio_rows_from_spans, batch_format="pyarrow")
+        .map_batches(
+            AudioFeatureStage,
+            batch_size=32, concurrency=2, num_cpus=1, batch_format="pyarrow",
+        )
+        .select_columns(
+            ["media_ref", "n_samples", "duration_ms", "zero_crossings",
+             "peak", "energy"]
+        )
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_media_audio_features() -> str:
+    """Golden-derived VALUES oracle: sequential crawl replay + pure no-Ray
+    encode/decode/feature pass per media span."""
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import AudioFeatureStage, wav_payload
+
+    res = golden_crawl(MiniWeb(n_docs=100), budget_per_host=16, max_rounds=24)
+    rows = []
+    for p in res.pages:
+        for s in p["spans"]:
+            if s["kind"] == "media" and s["media_ref"]:
+                n, dur, zc, peak, energy = AudioFeatureStage._features_one(
+                    wav_payload(s["media_ref"])
+                )
+                rows.append(
+                    "('{}', {}, {}, {}, {}, {})".format(
+                        s["media_ref"].replace("'", "''"),
+                        n, dur, zc, peak, energy,
+                    )
+                )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(media_ref, "
+        "n_samples, duration_ms, zero_crossings, peak, energy)"
+    )
+
+
 # ===================================================== quantiles / sampling
 
 
@@ -3648,6 +3700,7 @@ QUERIES = {
     "lineitem_weighted_sample": q_lineitem_weighted_sample,
     "doc_bm25_topk": q_doc_bm25_topk,
     "media_frame_sample": q_media_frame_sample,
+    "media_audio_features": q_media_audio_features,
 }
 
 
@@ -3716,4 +3769,5 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_sample": SQL_LINEITEM_WSAMPLE,
         "doc_bm25_topk": _sql_doc_bm25(),
         "media_frame_sample": _sql_media_frame_sample(),
+        "media_audio_features": _sql_media_audio_features(),
     }

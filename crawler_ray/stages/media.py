@@ -299,3 +299,110 @@ class FrameSampleStage:
                 "features": pa.array(feats, type=pa.list_(pa.float32())),
             }
         )
+
+
+def wav_payload(media_ref: str, sample_rate: int = 8000) -> bytes:
+    """Deterministic REAL RIFF/WAVE PCM16 payload keyed by media_ref
+    (stdlib ``wave`` encoder) — the sandbox stand-in for fetching an audio
+    blob.  The waveform is a ref-keyed sine plus a sha256-keystream noise
+    floor; duration derives from the ref hash (~0.1-0.6 s)."""
+    import io
+    import wave
+
+    hv = hashlib.md5(media_ref.encode()).digest()
+    n = 1000 + int.from_bytes(hv[:2], "big") % 4000
+    freq = 100 + int.from_bytes(hv[2:4], "big") % 800
+    t = np.arange(n, dtype=np.float64)
+    sig = 12000.0 * np.sin(2.0 * np.pi * freq * t / sample_rate)
+    noise_bytes = synth_payload(media_ref + "#noise", n)
+    noise = (np.frombuffer(noise_bytes, dtype=np.uint8).astype(np.float64)
+             - 127.5) * 16.0
+    pcm = np.clip(sig + noise, -32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode via the stdlib ``wave`` parser: (int16 samples, rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected mono PCM16")
+        rate = w.getframerate()
+        samples = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    return samples, rate
+
+
+def audio_rows_from_spans(batch: pa.Table) -> pa.Table:
+    """pages(spans) -> audio table rows (one per media span), payload
+    "fetched" as a deterministic real WAV blob."""
+    refs = []
+    for spans in batch["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] == "media" and s["media_ref"]:
+                refs.append(s["media_ref"])
+    payloads = [wav_payload(r) for r in refs]
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "kind": pa.array(["audio"] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool audio decode + feature extraction: parse the WAV
+    container, then compute INTEGER-EXACT waveform features (zero
+    crossings, peak amplitude, energy as sum of squared samples, duration)
+    — integral outputs make the golden-VALUES oracle compare bit-exact.
+
+    Usage::
+
+        audio_ds.map_batches(AudioFeatureStage, batch_size=32,
+                             concurrency=4, num_cpus=1,
+                             batch_format="pyarrow")
+
+    Real torchaudio/librosa feature stacks would drop in behind the same
+    signature (``backend="librosa"`` raises :class:`MediaCodecUnavailable`
+    in this sandbox)."""
+
+    def __init__(self, backend: str = "wave") -> None:
+        if backend in ("librosa", "torchaudio"):
+            raise MediaCodecUnavailable(
+                f"backend {backend!r} needs libraries not present in this "
+                "sandbox; use backend='wave' (real stdlib RIFF/WAVE decode)"
+            )
+        if backend != "wave":
+            raise ValueError(f"unknown backend {backend!r}")
+
+    @staticmethod
+    def _features_one(payload: bytes) -> tuple[int, int, int, int, int]:
+        x, rate = decode_wav(payload)
+        n = len(x)
+        xi = x.astype(np.int64)
+        zc = int(np.count_nonzero(np.signbit(xi[1:]) != np.signbit(xi[:-1])))
+        peak = int(np.abs(xi).max()) if n else 0
+        energy = int((xi * xi).sum())
+        duration_ms = n * 1000 // rate
+        return n, duration_ms, zc, peak, energy
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._features_one(p) for p in batch["payload"].to_pylist()]
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("n_samples", pa.array(cols[0], type=pa.int64()))
+            .append_column("duration_ms", pa.array(cols[1], type=pa.int64()))
+            .append_column("zero_crossings", pa.array(cols[2], type=pa.int64()))
+            .append_column("peak", pa.array(cols[3], type=pa.int64()))
+            .append_column("energy", pa.array(cols[4], type=pa.int64()))
+        )

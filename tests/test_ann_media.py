@@ -148,3 +148,44 @@ def test_frame_sample_stage_rows(ray_session):
         assert got[r][1] == sample_frame_indices(n, 4)
     # thumbs are 8x8 decoded content
     assert all(len(x) == 64 for x in out["thumb"].to_pylist())
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from crawler_ray.stages.media import (
+        AudioFeatureStage,
+        decode_wav,
+        wav_payload,
+    )
+
+    p = wav_payload("m://h/a1")
+    x, rate = decode_wav(p)
+    assert rate == 8000 and 1000 <= len(x) <= 5000 and x.dtype == np.int16
+    n, dur, zc, peak, energy = AudioFeatureStage._features_one(p)
+    assert n == len(x)
+    assert dur == n * 1000 // rate
+    assert 0 < zc < n
+    assert 0 < peak <= 32768
+    assert energy == int((x.astype(np.int64) ** 2).sum())
+    # deterministic
+    assert wav_payload("m://h/a1") == p
+    assert wav_payload("m://h/a2") != p
+
+
+def test_audio_stage_batch(ray_session):
+    import pyarrow as pa
+
+    from crawler_ray.stages.media import AudioFeatureStage, wav_payload
+
+    refs = [f"m://h/{i}" for i in range(4)]
+    t = pa.table({
+        "media_ref": refs,
+        "kind": ["audio"] * 4,
+        "n_bytes": [0] * 4,
+        "payload": pa.array([wav_payload(r) for r in refs], type=pa.binary()),
+    })
+    out = AudioFeatureStage()(t)
+    assert out.num_rows == 4
+    assert "payload" not in out.column_names
+    assert all(v > 0 for v in out["energy"].to_pylist())
