@@ -3295,16 +3295,36 @@ def q_events_pivot(sf_dir: str):
         piv["value_sum"] = df.groupby("user_id", sort=False)["value"].sum()
         return piv.reset_index()
 
-    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_EVENT_TYPES]
-    aggs.append(Sum("value_sum", alias_name="total_value"))
-    final = (
+    # final merge: hash-bucketed map_groups (one vectorized pandas pass per
+    # bucket over MANY users) — Ray's multi-column groupby().aggregate()
+    # costs ~ms per (group, agg) at thousands of groups (measured 24 s for
+    # 1,500 users x 6 sums at sf0.1; this path runs in <1 s)
+    try:
+        _cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        _cpus = 16
+    n_buckets = 32
+    while n_buckets < 2 * _cpus:
+        n_buckets <<= 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(t["user_id"], n_buckets - 1)
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    num_cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES] + ["value_sum"]
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("user_id", sort=False, as_index=False)[num_cols].sum()
+        g["total_value"] = duck_round(g.pop("value_sum"), 2)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(*aggs)
-    )
-    return final.map_batches(
-        lambda df: df.assign(total_value=duck_round(df["total_value"], 2)),
-        batch_format="pandas",
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
