@@ -46,6 +46,22 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Datas
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+# Conventions (see crawler_ray/stages/combine.py for the measurements):
+# - every partial-aggregation map_batches passes batch_size=PARTIAL_BATCH
+#   (1M rows, coalescing across block boundaries so partials actually
+#   reduce; the one order-sensitive sketch, price_quantiles_sketch, pins
+#   its own size instead);
+# - every HIGH-cardinality groupby (thousands+ of groups) finishes via
+#   _bucketed_combine, not groupby().aggregate() (whose reduce costs
+#   ~1 ms per group per partial block); small-cardinality groupbys
+#   (<= tens of groups) keep the plain aggregate.
+from crawler_ray.stages.combine import (  # noqa: E402
+    PARTIAL_BATCH,
+    bucketed_combine as _bucketed_combine,
+    n_buckets_for_cluster,
+)
+
+
 # ================================================================ relational
 # A1-A4, O1-O3 analogues over the TPC-H-ish tables.
 
@@ -87,7 +103,7 @@ def q_pricing_summary(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -166,7 +182,7 @@ def q_mktsegment_revenue(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("cents", alias_name="cents"))
@@ -202,7 +218,7 @@ def q_nation_orders(sf_dir: str):
         return name.value_counts().rename_axis("n_name").reset_index(name="n_orders")
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("n_name")
         .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
@@ -229,7 +245,7 @@ def q_part_brand_stats(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("p_brand")
         .aggregate(Sum("n_parts", alias_name="n_parts"),
                    Sum("sum_size", alias_name="sum_size"),
@@ -265,7 +281,7 @@ def q_events_by_type(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("event_type")
         .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
     )
@@ -296,10 +312,10 @@ def q_events_hourly_window(sf_dir: str):
             .reset_index()
         )
 
-    final = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value"))
+    final = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH),
+        ["event_type", "window_start"],
+        {"n": ("n", "sum"), "total_value": ("total_value", "sum")},
     )
     return final.map_batches(
         lambda df: df.assign(total_value=duck_round(df["total_value"], 2)),
@@ -341,7 +357,7 @@ def q_orderpriority_revenue(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     final = (
-        joined.map_batches(partial, batch_format="pandas")
+        joined.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("o_orderpriority")
         .aggregate(Sum("n_items", alias_name="n_items"),
                    Sum("scaled", alias_name="scaled"))
@@ -420,15 +436,7 @@ def q_user_sessions(sf_dir: str):
     # shuffle parallelism scales with the cluster: >= 2 reduce partitions
     # per CPU (next power of two so the bucket id stays a cheap bit-mask);
     # results are bucket-count-invariant (buckets only partition users)
-    try:
-        import ray
-
-        _cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        _cpus = 16
-    N_BUCKETS = 32
-    while N_BUCKETS < 2 * _cpus:
-        N_BUCKETS <<= 1
+    N_BUCKETS = n_buckets_for_cluster()
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -498,7 +506,7 @@ def q_top_events_per_type(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
@@ -603,11 +611,11 @@ def q_doc_exact_dedup(sf_dir: str):
             .reset_index()
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("first_doc_id", alias_name="first_doc_id"),
-                   Sum("occurrence_count", alias_name="occurrence_count"))
+    return _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH),
+        ["content_hash"],
+        {"first_doc_id": ("first_doc_id", "min"),
+         "occurrence_count": ("occurrence_count", "sum")},
     )
 
 
@@ -648,7 +656,7 @@ def q_doc_hash_stats(sf_dir: str):
             }
         )
 
-    parts = dedup.map_batches(partial, batch_format="pandas").take_all()
+    parts = dedup.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH).take_all()
     n_distinct = sum(p["n_distinct"] for p in parts)
     total = sum(p["total_docs"] for p in parts)
     mx = max((p["max_occurrence"] for p in parts), default=0)
@@ -1406,7 +1414,7 @@ def q_knn_bruteforce(sf_dir: str):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH)
         .groupby("query_id")
         .map_groups(final_topk, batch_format="pandas")
     )
@@ -1702,7 +1710,7 @@ def q_emb_label_stats(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     final = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH)
         .groupby("label")
         .aggregate(Sum("n", alias_name="n"), Sum("sum_norm", alias_name="sum_norm"))
     )
@@ -1871,7 +1879,7 @@ def q_event_user_hll(sf_dir: str):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("event_type")
         .map_groups(merge, batch_format="pandas")
     )
@@ -2354,7 +2362,7 @@ def q_lineitem_quantiles(sf_dir: str):
         return g
 
     hist = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby(["l_returnflag", "l_quantity"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .take_all()  # bounded: groups x |domain| (<= 3 x 50 rows), never O(N)
@@ -2670,12 +2678,10 @@ def q_events_sliding_window(sf_dir: str):
             }
         )
 
-    final = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "ws_us"])
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("total_value", alias_name="total_value")
-        )
+    final = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH),
+        ["event_type", "ws_us"],
+        {"n": ("n", "sum"), "total_value": ("total_value", "sum")},
     )
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -2814,7 +2820,9 @@ def q_doc_tfidf_top_terms(sf_dir: str):
     n_docs = ds.count()
 
     tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
-    dfreq = tf_rows.groupby("token").aggregate(Count(alias_name="df"))
+    # token vocabulary is high-cardinality: bucketed combine, not
+    # groupby().aggregate() (see _bucketed_combine)
+    dfreq = _bucketed_combine(tf_rows, ["token"], {"df": ("token", "size")})
     # ONE bounded execution decides the path AND fetches the broadcast side:
     # take(threshold+1) streams at most threshold+1 rows to the driver —
     # a short read proves the vocab fits, an overflow proves it doesn't
@@ -2933,10 +2941,10 @@ def q_lineitem_bloom_semijoin(sf_dir: str):
             .reset_index()
         )
 
-    final = (
-        semi.map_batches(partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("cents", alias_name="cents"), Sum("n_items", alias_name="n_items"))
+    final = _bucketed_combine(
+        semi.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH),
+        ["l_partkey"],
+        {"cents": ("cents", "sum"), "n_items": ("n_items", "sum")},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -3044,14 +3052,16 @@ def q_graph_pagerank(sf_dir: str):
     # node table: per-block unique srcs (blocks may straddle buckets after
     # the coalesce, so a tiny global groupby dedups across blocks)
     nodes = (
-        ewd.map_batches(
-            lambda t: pa.table(
-                {"node": np.unique(t["src"].to_numpy(zero_copy_only=False))}
+        _bucketed_combine(
+            ewd.map_batches(
+                lambda t: pa.table(
+                    {"node": np.unique(t["src"].to_numpy(zero_copy_only=False))}
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
+            ["node"],
+            {"__c": ("node", "size")},
         )
-        .groupby("node")
-        .aggregate(Count(alias_name="__c"))
         .select_columns(["node"])
         .materialize()
     )
@@ -3095,7 +3105,7 @@ def q_graph_pagerank(sf_dir: str):
     for _ in range(PR_ITERS):
         ranks = (
             attach_unique(ewd, ranks, "src", "node", n_buckets=jbuckets)
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH)
             .groupby("__bucket")
             .map_groups(finish_bucket, batch_format="pyarrow")
             .repartition(rblocks)
@@ -3155,13 +3165,7 @@ def q_events_window_rank(sf_dir: str):
     Python call per user); all outputs are integral (microsecond gaps,
     cent-exact running sums) so the oracle compare is bit-exact."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
-    try:
-        _cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        _cpus = 16
-    n_buckets = 32
-    while n_buckets < 2 * _cpus:
-        n_buckets <<= 1
+    n_buckets = n_buckets_for_cluster()
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3228,7 +3232,7 @@ def q_lineitem_rollup(sf_dir: str):
         )
 
     fine = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("n", alias_name="n"),
                    Sum("sum_qty", alias_name="sum_qty"),
@@ -3299,13 +3303,7 @@ def q_events_pivot(sf_dir: str):
     # bucket over MANY users) — Ray's multi-column groupby().aggregate()
     # costs ~ms per (group, agg) at thousands of groups (measured 24 s for
     # 1,500 users x 6 sums at sf0.1; this path runs in <1 s)
-    try:
-        _cpus = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        _cpus = 16
-    n_buckets = 32
-    while n_buckets < 2 * _cpus:
-        n_buckets <<= 1
+    n_buckets = n_buckets_for_cluster()
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3321,7 +3319,7 @@ def q_events_pivot(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
@@ -3360,10 +3358,10 @@ def q_part_fuzzy_pairs(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("p_name", sort=False).size().reset_index(name="n")
 
-    names = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("p_name")
-        .aggregate(Sum("n", alias_name="n"))
+    names = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH),
+        ["p_name"],
+        {"n": ("n", "sum")},
     )
 
     def to_bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -3474,7 +3472,7 @@ def q_events_props_extract(sf_dir: str):
         )
 
     final = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
         .groupby("event_type")
         .aggregate(
             Sum("n", alias_name="n"),

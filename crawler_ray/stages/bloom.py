@@ -30,8 +30,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import AggregateFn, Count
+from ray.data.aggregate import AggregateFn
 
+from crawler_ray.stages.combine import bucketed_distinct
 from crawler_ray.stages.join import attach_unique
 
 _C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -157,8 +158,11 @@ def bloom_semi_join(
         return fn
 
     hits = probe.map_batches(_split(True), batch_format="pyarrow")
-    # distinct build keys + a non-null marker column for the verify join
-    distinct = build.groupby(build_key).aggregate(Count(alias_name="__hit"))
+    # distinct build keys + a non-null marker column for the verify join;
+    # bucketed (not groupby().aggregate(): its reduce costs ~1 ms/group,
+    # and build sides run to millions of distinct keys — see
+    # stages/combine.py)
+    distinct = bucketed_distinct(build, build_key, marker="__hit")
 
     if anti:
         checked = attach_unique(hits, distinct, probe_key, build_key, how="left")
