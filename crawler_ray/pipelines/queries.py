@@ -2593,10 +2593,10 @@ def q_doc_heavy_tokens(sf_dir: str):
             }
         )
 
-    part = (
-        ds.map_batches(summarize, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("c", alias_name="c"))
+    part = _bucketed_combine(
+        ds.map_batches(summarize, batch_format="pandas"),
+        ["token"],
+        {"c": ("c", "sum")},
     )
     rows = part.take_all()  # bounded: ≤ (capacity+1) rows per input block
     total = int(sum(r["c"] for r in rows if r["token"] == ""))
@@ -2614,10 +2614,10 @@ def q_doc_heavy_tokens(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(recount, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    out = _bucketed_combine(
+        ds.map_batches(recount, batch_format="pandas"),
+        ["token"],
+        {"cnt": ("cnt", "sum")},
     )
     return out.map_batches(
         lambda df: df[df["cnt"] * HH_FACTOR > total], batch_format="pandas"
