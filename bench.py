@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "lineitem_weighted_sample",
     # BM25 ranked retrieval (two streaming passes + broadcast scalars)
     "doc_bm25_topk",
+    # span-level (paragraph-style) boilerplate dedup over the interleaved
+    # span table: synthesize list<struct> spans, flatten, two bucketed
+    # exchanges (span x source, then span) — no broadcast, no driver state
+    "span_boilerplate",
 ]
 
 

@@ -3660,6 +3660,188 @@ ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Interleaved span-document operators (round 4): the north-star input shape
+# (doc_id, spans: list<struct<kind,text,media_ref,offset>>) as a first-class
+# queryable table.  synthesize_spans deterministically expands the flat
+# documents table into that shape (pure-arithmetic rule, replayed
+# term-for-term by the SQL oracles), and the operators run over the REAL
+# list<struct> column via flatten_spans — so the oracle checks both the
+# span construction and the span-level aggregation.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 4  # words per text span (shared by Ray + SQL paths)
+
+_SQL_SPAN_CHUNKS = f"""
+w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ex AS (SELECT doc_id, source, ws,
+              unnest(generate_series(0,
+                  CAST(ceil(len(ws) / {SPAN_W}.0) AS BIGINT) - 1)) AS ci
+       FROM w),
+chunks AS (SELECT doc_id, source, CAST(ci AS INT) AS ci,
+                  array_to_string(ws[CAST(ci*{SPAN_W}+1 AS INT):
+                                     CAST(ci*{SPAN_W}+{SPAN_W} AS INT)],
+                                  ' ') AS chunk
+           FROM ex)
+"""
+
+
+def q_span_kind_stats(sf_dir: str):
+    """Per-(source, kind) span census over the interleaved span table:
+    span count + total text chars.  The batch pipeline builds the actual
+    list<struct> spans column (stages/spans.py::synthesize_spans), flattens
+    it, and pre-aggregates per batch — the exchange carries one row per
+    (source, kind, batch); the final groupby is O(sources x kinds)."""
+    import pyarrow.compute as pc
+
+    from crawler_ray.stages.spans import flatten_spans, synthesize_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = flatten_spans(synthesize_spans(t, SPAN_W), carry=("source",))
+        df = pd.DataFrame(
+            {
+                "source": f["source"].to_pandas(),
+                "kind": f["kind"].to_pandas(),
+                "chars": pc.utf8_length(f["text"]).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+            }
+        )
+        g = (
+            df.groupby(["source", "kind"], sort=False)
+            .agg(n_spans=("chars", "size"), total_chars=("chars", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH)
+        .groupby(["source", "kind"])
+        .aggregate(Sum("n_spans", alias_name="n_spans"),
+                   Sum("total_chars", alias_name="total_chars"))
+    )
+
+
+SQL_SPAN_KIND_STATS = f"""
+WITH {_SQL_SPAN_CHUNKS}
+SELECT source, kind, n_spans, total_chars FROM (
+  SELECT source, 'text' AS kind, COUNT(*) AS n_spans,
+         CAST(SUM(length(chunk)) AS BIGINT) AS total_chars
+  FROM chunks GROUP BY source
+  UNION ALL
+  SELECT source, 'image' AS kind, COUNT(*) AS n_spans,
+         CAST(0 AS BIGINT) AS total_chars
+  FROM chunks WHERE (doc_id*31 + ci*7) % 5 = 0 GROUP BY source
+)
+"""
+
+
+def q_span_boilerplate(sf_dir: str):
+    """Span-level (paragraph-style) boilerplate dedup over the interleaved
+    span table: a text span whose content appears in >= 2 DISTINCT
+    documents is boilerplate; report per source the span count, the
+    boilerplate occurrences, and the chars that survive removal — the
+    paragraph-dedup shape of a training-data pipeline (dedup below document
+    granularity).
+
+    Fully distributed, no broadcast, no driver state:
+    1. per-batch partial per (span_text, source): occurrences, distinct
+       docs (a document's spans never split across batches — each input
+       row IS one document), chars;
+    2. bucketed combine keyed by (span_text, source);
+    3. re-bucket by span_text alone, so a span's rows across sources
+       co-locate and hotness (corpus-wide distinct-doc count) resolves
+       inside the bucket, which then emits per-source partial sums;
+    4. tiny final groupby(source).
+    Exchange volume is O(distinct (span, source)) rows of
+    (hash-width text, 3 ints) — never the corpus."""
+    import pyarrow.compute as pc
+
+    from crawler_ray.stages.combine import (
+        PARTIAL_BATCH as PB,
+        bucketed_combine,
+        n_buckets_for_cluster,
+    )
+    from crawler_ray.stages.spans import flatten_spans, synthesize_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = flatten_spans(synthesize_spans(t, SPAN_W), carry=("doc_id", "source"))
+        mask = pc.equal(f["kind"], "text")
+        f = f.filter(mask)
+        df = pd.DataFrame(
+            {
+                "span": f["text"].to_pandas(),
+                "source": f["source"].to_pandas(),
+                "doc_id": f["doc_id"].to_pandas(),
+            }
+        )
+        g = (
+            df.groupby(["span", "source"], sort=False)
+            .agg(occ=("doc_id", "size"), ndocs=("doc_id", "nunique"))
+            .reset_index()
+        )
+        g["chars"] = g["span"].str.len().astype(np.int64) * g["occ"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_span_source = bucketed_combine(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=PB),
+        ["span", "source"],
+        {"occ": ("occ", "sum"), "ndocs": ("ndocs", "sum"),
+         "chars": ("chars", "sum")},
+    )
+
+    n_buckets = n_buckets_for_cluster()
+    mask64 = np.uint64(n_buckets - 1)
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["span"], index=False).to_numpy()
+        return df.assign(__b2=(h & mask64).astype(np.int64))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hot = df.groupby("span", sort=False)["ndocs"].transform("sum") >= 2
+        hot = hot.to_numpy()
+        occ = df["occ"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_spans": occ,
+                "boiler_spans": np.where(hot, occ, 0),
+                "clean_chars": np.where(hot, 0, df["chars"].to_numpy()),
+            }
+        )
+        return (
+            g.groupby("source", sort=False, as_index=False)
+            .agg({"n_spans": "sum", "boiler_spans": "sum",
+                  "clean_chars": "sum"})
+        )
+
+    return (
+        per_span_source.map_batches(rebucket, batch_format="pandas")
+        .groupby("__b2")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_spans", alias_name="n_spans"),
+                   Sum("boiler_spans", alias_name="boiler_spans"),
+                   Sum("clean_chars", alias_name="clean_chars"))
+    )
+
+
+SQL_SPAN_BOILERPLATE = f"""
+WITH {_SQL_SPAN_CHUNKS},
+cd AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk),
+j AS (SELECT c.source, length(c.chunk) AS ln, (cd.nd >= 2) AS hot
+      FROM chunks c JOIN cd ON c.chunk = cd.chunk)
+SELECT source, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT) AS boiler_spans,
+       CAST(SUM(CASE WHEN hot THEN 0 ELSE ln END) AS BIGINT) AS clean_chars
+FROM j GROUP BY source
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -3719,6 +3901,8 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_features": q_media_audio_features,
+    "span_kind_stats": q_span_kind_stats,
+    "span_boilerplate": q_span_boilerplate,
 }
 
 
@@ -3788,4 +3972,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _sql_doc_bm25(),
         "media_frame_sample": _sql_media_frame_sample(),
         "media_audio_features": _sql_media_audio_features(),
+        "span_kind_stats": SQL_SPAN_KIND_STATS,
+        "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }
