@@ -105,3 +105,51 @@ def read_dataset(path: str):
     if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
         return rd.read_lance(path)
     return rd.read_parquet(path)
+
+
+def retention_sweep(
+    root: str,
+    keep: int | None = None,
+    min_value: int | None = None,
+    partition_key: str = "round",
+) -> list[str]:
+    """Partition-level retention delete (reference: the 90-day retention
+    deletes on content hashes and crawled pages,
+    /root/reference/sql/queries/content_hash.sql:42-44 and
+    crawled_page.sql:105-108, and the monthly log-partition rotation).
+
+    The Ray-native shape is O(partitions), not O(rows): data is laid out
+    one directory per ``<partition_key>=<value>`` (this module's resumable
+    contract), so expiring old data is a directory *unlink* driven by the
+    partition value — no scan, no rewrite, and concurrent readers of
+    surviving partitions are untouched.  Exactly one of ``keep`` (retain
+    the newest N partitions) or ``min_value`` (retain partitions with
+    value >= cutoff — the "older than 90 days" form) must be given.
+
+    Removal reuses the aside-rename discipline: a partition is renamed
+    aside first (atomic; readers never observe a half-deleted directory)
+    and then removed.  Returns the partition values swept, as strings.
+    """
+    if (keep is None) == (min_value is None):
+        raise ValueError("exactly one of keep / min_value is required")
+    prefix = f"{partition_key}="
+    parts = []
+    for name in os.listdir(root) if os.path.isdir(root) else []:
+        if name.startswith(prefix) and os.path.isdir(os.path.join(root, name)):
+            try:
+                parts.append((int(name[len(prefix):]), name))
+            except ValueError:
+                continue  # foreign directory; never a sweep target
+    parts.sort()
+    if keep is not None:
+        doomed = parts[: max(len(parts) - keep, 0)]
+    else:
+        doomed = [p for p in parts if p[0] < min_value]
+    swept = []
+    for value, name in doomed:
+        path = os.path.join(root, name)
+        aside = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.replace(path, aside)
+        shutil.rmtree(aside, ignore_errors=True)
+        swept.append(str(value))
+    return swept

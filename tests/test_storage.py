@@ -63,3 +63,47 @@ def test_failed_write_leaves_no_visible_partition(ray_session, tmp_path):
         )
     assert not os.path.isdir(path)  # never partially visible
     assert [d for d in os.listdir(tmp_path) if ".tmp-" in d] == []
+
+
+def test_retention_sweep_keep_newest():
+    import tempfile
+
+    import pyarrow as pa
+
+    from crawler_ray.sources import storage
+
+    with tempfile.TemporaryDirectory() as root:
+        t = pa.table({"x": [1]})
+        for r in range(6):
+            storage.write_table(t, os.path.join(root, f"round={r:04d}"))
+        os.makedirs(os.path.join(root, "not_a_partition"))
+        swept = storage.retention_sweep(root, keep=2)
+        assert swept == ["0", "1", "2", "3"]
+        left = sorted(d for d in os.listdir(root) if d.startswith("round="))
+        assert left == ["round=0004", "round=0005"]
+        # foreign dirs untouched; survivors still readable
+        assert os.path.isdir(os.path.join(root, "not_a_partition"))
+        assert storage.read_table(os.path.join(root, "round=0005")).num_rows == 1
+
+
+def test_retention_sweep_min_value_cutoff():
+    import tempfile
+
+    import pyarrow as pa
+
+    from crawler_ray.sources import storage
+
+    with tempfile.TemporaryDirectory() as root:
+        t = pa.table({"x": [1]})
+        for r in [3, 90, 91, 200]:
+            storage.write_table(t, os.path.join(root, f"round={r:04d}"))
+        swept = storage.retention_sweep(root, min_value=91)
+        assert swept == ["3", "90"]
+        left = sorted(d for d in os.listdir(root) if d.startswith("round="))
+        assert left == ["round=0091", "round=0200"]
+        with pytest.raises(ValueError):
+            storage.retention_sweep(root)
+        with pytest.raises(ValueError):
+            storage.retention_sweep(root, keep=1, min_value=2)
+        # sweeping an empty/missing root is a no-op
+        assert storage.retention_sweep(os.path.join(root, "nope"), keep=1) == []
