@@ -550,12 +550,23 @@ class CrawlEngine:
 
         if frontier is None:
             frontier_ds = rd.from_arrow(self._seed_frontier())
-        elif isinstance(frontier, rd.Dataset):
-            # scale path: a resume snapshot / synthetic frontier streams in
-            # as distributed blocks and never materializes on the driver
-            frontier_ds = frontier
         else:
-            frontier_ds = rd.from_arrow(frontier)
+            if isinstance(frontier, rd.Dataset):
+                # scale path: a resume snapshot / synthetic frontier streams
+                # in as distributed blocks and never materializes on the
+                # driver
+                frontier_ds = frontier
+            else:
+                frontier_ds = rd.from_arrow(frontier)
+            # normalize ONCE at ingestion: callers may supply frontiers
+            # with reordered columns or wider integer types; every
+            # per-round union assumes exact FRONTIER_SCHEMA conformance
+            # (the per-round re-cast stage was removed as a fixed cost —
+            # internal producers are conformant by construction)
+            frontier_ds = frontier_ds.map_batches(
+                lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
+                batch_format="pyarrow",
+            )
         order: list[tuple[int, str, str]] = (
             list(prior_order or []) if self.record_history else []
         )

@@ -2822,11 +2822,15 @@ def q_doc_tfidf_top_terms(sf_dir: str):
     tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
     # token vocabulary is high-cardinality: bucketed combine, not
     # groupby().aggregate() (see _bucketed_combine)
-    dfreq = _bucketed_combine(tf_rows, ["token"], {"df": ("token", "size")})
-    # ONE bounded execution decides the path AND fetches the broadcast side:
-    # take(threshold+1) streams at most threshold+1 rows to the driver —
+    # materialize the narrow (token, df) aggregate ONCE: the path-deciding
+    # take below and (on the huge-vocab path) the join's right side both
+    # read the pinned blocks instead of replaying the corpus tokenization
+    # lineage — without this the join path re-tokenized the corpus ~3x
+    dfreq = _bucketed_combine(
+        tf_rows, ["token"], {"df": ("token", "size")}
+    ).materialize()
+    # bounded driver read decides the path AND fetches the broadcast side:
     # a short read proves the vocab fits, an overflow proves it doesn't
-    # (vs count() + take_all(), which executed the DF pipeline twice)
     idf_rows = dfreq.take(TFIDF_BROADCAST_VOCAB + 1)
 
     if len(idf_rows) <= TFIDF_BROADCAST_VOCAB:
@@ -2849,7 +2853,9 @@ def q_doc_tfidf_top_terms(sf_dir: str):
 
     from crawler_ray.stages.join import hash_join
 
-    joined = hash_join(tf_rows, dfreq, "token", "token")
+    # the join shuffles tf_rows through the object store anyway; pinning it
+    # first costs the same volume and avoids a second tokenization pass
+    joined = hash_join(tf_rows.materialize(), dfreq, "token", "token")
 
     def topk_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()

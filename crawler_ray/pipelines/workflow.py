@@ -586,16 +586,20 @@ class WorkflowRunner:
         ordered = validate_workflow(steps)
         context: dict = {"variables": dict(variables or {}), "steps": {},
                          "execution_order": [], "metadata": {}}
-        for step in ordered:
+        for step_i, step in enumerate(ordered):
             if self.cancel_check is not None and self.cancel_check():
                 # reference step_orchestrator.py:149-167: cancellation is
                 # polled BETWEEN steps (the <5 s responsiveness target is a
                 # between-steps/pages contract); completed steps stay in
                 # the context, the remainder is marked cancelled
                 context["metadata"]["cancelled"] = True
-                context["metadata"][step.name] = {
-                    "skipped": True, "reason": "cancelled",
-                }
+                # mark EVERY remaining step (not just the next one): a
+                # consumer distinguishing cancelled-from-never-defined must
+                # find an entry for each unexecuted step
+                for rest in ordered[step_i:]:
+                    context["metadata"][rest.name] = {
+                        "skipped": True, "reason": "cancelled",
+                    }
                 break
             cfg = {"skip_if": step.skip_if or None, "run_only_if": step.run_only_if or None}
             cfg = {k: v for k, v in cfg.items() if v}

@@ -68,7 +68,9 @@ def bucketed_combine(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         return df.assign(__bucket=(h & mask).astype(np.int64))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, sort=False, as_index=False).agg(
+        # dropna=False: a null key is a GROUP (SQL GROUP BY / Ray aggregate
+        # semantics), not a row to silently discard
+        return df.groupby(keys, sort=False, as_index=False, dropna=False).agg(
             **{o: pd.NamedAgg(column=s, aggfunc=op)
                for o, (s, op) in agg_spec.items()}
         )

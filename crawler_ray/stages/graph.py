@@ -140,6 +140,14 @@ def connected_components(
         .map_batches(_rename_min, batch_format="pyarrow")
         .materialize()
     )
+    # bound the per-iteration block count: the join+union+groupby chain
+    # roughly doubles blocks every round, and materialize() pins that
+    # growth into the next iteration's input — without this repartition a
+    # 10-round propagation compounds to ~1000x the blocks and the loop
+    # stops terminating (same fix as the PageRank loop's rblocks)
+    n_nodes = labels.count()
+    rblocks = int(max(1, min(512, n_nodes // 100_000 + 1)))
+    labels = labels.repartition(rblocks).materialize()
     prev_sum = labels.sum("lbl")
 
     for _ in range(max_iters):
@@ -156,6 +164,7 @@ def connected_components(
             .groupby("node")
             .min("lbl")
             .map_batches(_rename_min, batch_format="pyarrow")
+            .repartition(rblocks)
             .materialize()
         )
         cur_sum = labels.sum("lbl")

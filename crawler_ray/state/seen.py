@@ -698,11 +698,17 @@ class ShardedSeen:
         reroute_from: int | None = None,
     ) -> int:
         """Resume-side bulk load: shard ``k`` reads its own file list
-        (parallel, shard-side).  When the checkpoint was written with a
-        different shard count, pass every file to every shard with
-        ``reroute_from`` = the WRITER's shard count unused — callers set
-        ``reroute_from`` to this engine's shard count to enable the
-        vectorized ownership filter inside each shard."""
+        (parallel, shard-side).
+
+        Same shard count as the writer: pass each shard exactly its own
+        delta file and leave ``reroute_from=None`` (no filtering needed —
+        the writer's routing is already correct).  DIFFERENT shard count:
+        pass every file to every shard and set ``reroute_from`` to THIS
+        engine's (the reader's) shard count — each shard then keeps only
+        the hashes that route to it under the current topology via the
+        vectorized ownership filter (``shard_of(h, reroute_from) == k``).
+        Passing the writer's count here would filter by a routing no
+        lookup uses and silently lose dedup coverage."""
         import ray
 
         futs = [

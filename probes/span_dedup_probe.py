@@ -106,6 +106,10 @@ def main() -> None:
     for _, row in out.iterrows():
         checks[row["source"]] = int(row["boiler_spans"]) == exp[row["source"]]
     n_spans_total = int(out["n_spans"].sum())
+    # the probe FAILS (non-zero exit) when any invariant breaks — a wrong
+    # boiler count or driver-side blowup must not record a passing line
+    assert len(out) == 2, f"driver rows {len(out)} != O(sources)"
+    assert all(checks.values()), f"planted-chunk mismatch: {checks} exp {exp}"
 
     print(
         json.dumps(

@@ -108,3 +108,25 @@ def test_bucketed_distinct_no_marker(ray_session):
 def test_n_buckets_power_of_two(ray_session):
     n = n_buckets_for_cluster()
     assert n >= 32 and (n & (n - 1)) == 0
+
+
+def test_bucketed_combine_keeps_null_key_group(ray_session):
+    # SQL GROUP BY / Ray aggregate semantics: a null key is a group, not a
+    # row to drop (regression: pandas groupby defaults to dropna=True)
+    df = pd.DataFrame(
+        {
+            "k": ["a", None, "b", None, "a", None],
+            "v": [1, 10, 100, 20, 2, 30],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = (
+        bucketed_combine(ds, ["k"], {"total": ("v", "sum")})
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out.loc[out["k"].isna(), "total"].iloc[0] == 60
+    assert out.loc[out["k"] == "a", "total"].iloc[0] == 3
+    assert out.loc[out["k"] == "b", "total"].iloc[0] == 100

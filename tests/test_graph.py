@@ -83,6 +83,25 @@ def test_chain_graph_needs_multiple_iterations(ray_session):
     assert len(got) == n
 
 
+def test_iterative_blocks_stay_bounded_over_deep_propagation(ray_session):
+    """Regression: the per-iteration labels dataset must be repartitioned
+    before materializing — without it the join+union+groupby chain roughly
+    DOUBLES the block count every round (12 -> 28 -> 60 -> 124 -> ...) and
+    a diameter-10 graph effectively never converges.  A 16-node chain
+    (needs several propagation rounds) must finish with the labels block
+    count at the bounded rblocks value, not 2^iterations."""
+    n = 16
+    u = np.arange(n - 1, dtype=np.int64)
+    v = np.arange(1, n, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"u": u, "v": v})).repartition(8)
+    out = connected_components(edges, single_task_edges=0, n_buckets=4)
+    got = _labels_of(out)
+    assert set(got.values()) == {0}
+    assert len(got) == n
+    # rblocks for 16 nodes is 1; a compounding loop would sit at 100+
+    assert out.materialize().num_blocks() <= 4
+
+
 def test_attach_cluster_sizes_counts_exactly(ray_session):
     u, v = _random_graph(n_nodes=200, n_edges=260, seed=7)
     edges = rd.from_arrow(pa.table({"u": u, "v": v}))
