@@ -1218,6 +1218,118 @@ class CrawlEngine:
             )
             os.replace(tmp, os.path.join(sdir, f"shard={k}.parquet"))
 
+    @staticmethod
+    def compact_checkpoint(checkpoint_dir: str) -> dict:
+        """Fold all-but-the-latest complete round into ``base/`` and sweep
+        the folded round directories.
+
+        A long crawl accumulates one directory per round (frontier
+        snapshot, pages, order, per-shard seen delta, manifest); at
+        thousands of rounds the checkpoint becomes O(rounds x shards)
+        files and resume re-reads every round.  Compaction keeps resume
+        O(base + recent rounds):
+
+        - seen deltas MERGE (set semantics) into
+          ``base/seen_delta/n=<writer_shards>/shard=K.parquet`` — grouped
+          by the writer's shard count so files from different topologies
+          never mix routing (resume direct-loads the matching group and
+          reroutes the rest, exactly like per-round deltas);
+        - pages / order directories MOVE under ``base/pages|order/`` (a
+          rename — page data is output, not derived state);
+        - manifests append into ``base/manifests.json`` (round-ordered);
+        - the folded round dirs are swept last (aside-rename, readers
+          never see a half-deleted dir).
+
+        Crash-safe by idempotence: seen merges are set-unions (loading a
+        delta twice is a no-op), pages/order move atomically per dir, and
+        a re-run of compaction after any crash converges.  Rounds with
+        pre-r4 ``seen_delta.json`` layouts are left uncompacted.
+        """
+        import shutil
+        import uuid as _uuid
+
+        base = os.path.join(checkpoint_dir, "base")
+        complete = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(checkpoint_dir)
+            if n.startswith("round=")
+            and os.path.exists(os.path.join(checkpoint_dir, n, "manifest.json"))
+        )
+        doomed = [
+            r for r in complete[:-1]
+            if not os.path.exists(
+                os.path.join(checkpoint_dir, f"round={r:04d}", "seen_delta.json")
+            )
+        ]
+        if not doomed:
+            return {"compacted_rounds": 0}
+
+        os.makedirs(os.path.join(base, "pages"), exist_ok=True)
+        os.makedirs(os.path.join(base, "order"), exist_ok=True)
+
+        # ---- 1. merge seen deltas, grouped by writer shard count --------
+        by_count: dict[int, dict[int, list[str]]] = {}
+        for r in doomed:
+            sdir = os.path.join(checkpoint_dir, f"round={r:04d}", "seen_delta")
+            if not os.path.isdir(sdir):
+                continue
+            files = sorted(f for f in os.listdir(sdir) if f.endswith(".parquet"))
+            for f in files:
+                k = int(f.split("=")[1].split(".")[0])
+                by_count.setdefault(len(files), {}).setdefault(k, []).append(
+                    os.path.join(sdir, f)
+                )
+        for n_w, shards in by_count.items():
+            gdir = os.path.join(base, "seen_delta", f"n={n_w}")
+            os.makedirs(gdir, exist_ok=True)
+            for k, paths in shards.items():
+                dest = os.path.join(gdir, f"shard={k}.parquet")
+                tables = [pq.read_table(p, columns=["url_hash"]) for p in paths]
+                if os.path.exists(dest):
+                    tables.append(pq.read_table(dest, columns=["url_hash"]))
+                merged = pa.concat_tables(tables)
+                uniq = pc.unique(merged["url_hash"].combine_chunks())
+                tmp = f"{dest}.tmp-{_uuid.uuid4().hex[:8]}"
+                pq.write_table(pa.table({"url_hash": uniq}), tmp)
+                os.replace(tmp, dest)
+
+        # ---- 2. move pages / order; 3. fold manifests -------------------
+        mpath = os.path.join(base, "manifests.json")
+        manifests: list = []
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifests = json.load(f)
+        have = {m[0] for m in manifests}
+        for r in doomed:
+            d = os.path.join(checkpoint_dir, f"round={r:04d}")
+            pdir = os.path.join(d, "pages")
+            if os.path.isdir(pdir):
+                os.replace(pdir, os.path.join(base, "pages", f"round={r:04d}"))
+            ojson = os.path.join(d, "order.json")
+            odir = os.path.join(d, "order")
+            if os.path.exists(ojson):
+                os.replace(
+                    ojson, os.path.join(base, "order", f"round={r:04d}.json")
+                )
+            elif os.path.isdir(odir):
+                os.replace(odir, os.path.join(base, "order", f"round={r:04d}"))
+            if r not in have:
+                with open(os.path.join(d, "manifest.json")) as f:
+                    manifests.append([r, json.load(f)])
+        manifests.sort(key=lambda m: m[0])
+        tmp = f"{mpath}.tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(manifests, f)
+        os.replace(tmp, mpath)
+
+        # ---- 4. sweep the folded round dirs (manifest gone == folded) ---
+        for r in doomed:
+            d = os.path.join(checkpoint_dir, f"round={r:04d}")
+            aside = f"{d}.old-{_uuid.uuid4().hex[:8]}"
+            os.replace(d, aside)
+            shutil.rmtree(aside, ignore_errors=True)
+        return {"compacted_rounds": len(doomed), "kept_round": complete[-1]}
+
     @classmethod
     def resume(cls, web, checkpoint_dir: str, **kwargs) -> CrawlResult:
         """Continue a crawl from durable per-round state.
@@ -1253,6 +1365,52 @@ class CrawlEngine:
         direct_by_shard: list[list[str]] = [[] for _ in range(engine.seen.n_shards)]
         reroute_files: list[str] = []   # rounds written with a different shard count
         legacy_hashes: list[str] = []   # pre-r4 seen_delta.json checkpoints
+
+        # ---- compacted base (compact_checkpoint): folded rounds load
+        # exactly like per-round state, just from O(1) merged locations
+        bdir = os.path.join(checkpoint_dir, "base")
+        if os.path.isdir(bdir):
+            mpath = os.path.join(bdir, "manifests.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    metrics.extend(m for _, m in json.load(f))
+            obase = os.path.join(bdir, "order")
+            if os.path.isdir(obase):
+                for name in sorted(os.listdir(obase)):
+                    rr0 = int(name.split("=")[1].split(".")[0])
+                    p = os.path.join(obase, name)
+                    if name.endswith(".json"):
+                        with open(p) as f:
+                            order.extend(tuple(x) for x in json.load(f))
+                    else:
+                        ot = pq.read_table(p).sort_by(
+                            [("score", "ascending"), ("url_hash", "ascending")]
+                        )
+                        order.extend(
+                            (rr0, h, u)
+                            for h, u in zip(
+                                ot["url_hash"].to_pylist(), ot["url"].to_pylist()
+                            )
+                        )
+            pbase = os.path.join(bdir, "pages")
+            if os.path.isdir(pbase):
+                for name in sorted(os.listdir(pbase)):
+                    pages.append(rd.read_parquet(os.path.join(pbase, name)))
+            sbase = os.path.join(bdir, "seen_delta")
+            if os.path.isdir(sbase):
+                for group in sorted(os.listdir(sbase)):
+                    gdir = os.path.join(sbase, group)
+                    n_w = int(group.split("=")[1])
+                    files = sorted(
+                        f for f in os.listdir(gdir) if f.endswith(".parquet")
+                    )
+                    if n_w == engine.seen.n_shards:
+                        for f in files:
+                            k = int(f.split("=")[1].split(".")[0])
+                            direct_by_shard[k].append(os.path.join(gdir, f))
+                    else:
+                        reroute_files.extend(os.path.join(gdir, f) for f in files)
+
         for rr in complete:
             d = os.path.join(checkpoint_dir, f"round={rr:04d}")
             ojson = os.path.join(d, "order.json")

@@ -187,3 +187,57 @@ def test_frontier_snapshot_buckets_match_scalar_formula(ray_session, tmp_path):
             checked += 1
     assert checked > 0
     assert salted > 0  # the mega-host salting branch really ran
+
+
+def test_compacted_checkpoint_resumes_identically(ray_session, ckpt_dir, tmp_path):
+    """compact_checkpoint folds old rounds into base/ and sweeps their
+    dirs; resuming from the compacted checkpoint must produce the exact
+    same crawl as resuming from the uncompacted one."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    baseline = _run_full()
+
+    CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=3, seen_shards=2,
+        checkpoint_dir=ckpt_dir, record_history=True,
+    ).run()
+    # compact: rounds 0..1 fold into base/, round 2 stays
+    summary = CrawlEngine.compact_checkpoint(ckpt_dir)
+    assert summary["compacted_rounds"] == 2
+    rounds = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("round="))
+    assert rounds == ["round=0002"]  # only the latest complete round stays
+    assert os.path.isdir(os.path.join(ckpt_dir, "base", "seen_delta", "n=2"))
+    # idempotent re-run (crash-replay of compaction converges)
+    assert CrawlEngine.compact_checkpoint(ckpt_dir)["compacted_rounds"] == 0
+
+    resumed = CrawlEngine.resume(
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
+    )
+    assert [(r, h) for r, h, _ in resumed.order] == [
+        (r, h) for r, h, _ in baseline.order
+    ]
+    assert resumed.seen == baseline.seen
+    assert resumed.pages.count() == baseline.pages.count()
+    assert len(resumed.metrics) == len(baseline.metrics)
+
+
+def test_compacted_checkpoint_reroutes_on_shard_change(ray_session, ckpt_dir):
+    """Resuming a compacted checkpoint with a DIFFERENT seen-shard count
+    exercises the n=<writer> group reroute path."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    baseline = _run_full()
+    CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=3, seen_shards=2,
+        checkpoint_dir=ckpt_dir, record_history=True,
+    ).run()
+    CrawlEngine.compact_checkpoint(ckpt_dir)
+    resumed = CrawlEngine.resume(
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=3,
+        record_history=True,
+    )
+    assert resumed.seen == baseline.seen
+    assert [(r, h) for r, h, _ in resumed.order] == [
+        (r, h) for r, h, _ in baseline.order
+    ]
