@@ -1244,6 +1244,11 @@ class CrawlEngine:
         delta twice is a no-op), pages/order move atomically per dir, and
         a re-run of compaction after any crash converges.  Rounds with
         pre-r4 ``seen_delta.json`` layouts are left uncompacted.
+
+        OFFLINE maintenance operation (like VACUUM): run it between crawl
+        sessions, never while a resumed crawl is live — a resumed run
+        holds lazy parquet readers over the round directories this folds,
+        and moving them mid-run would break the final pages union.
         """
         import shutil
         import uuid as _uuid
