@@ -93,6 +93,24 @@ FRONTIER_SCHEMA = pa.schema(FRONTIER_FIELDS)
 FRONTIER_COLS = [n for n, _ in FRONTIER_FIELDS]
 
 
+def _complete_rounds(checkpoint_dir: str) -> list[int]:
+    """Round numbers whose manifest exists (the round is complete).
+
+    Tolerates foreign directory names and crash leftovers: only a pure
+    integer after ``round=`` counts (a half-swept ``.trash-…`` remnant or
+    any malformed suffix is skipped, never a crash)."""
+    out = []
+    for n in os.listdir(checkpoint_dir):
+        if not n.startswith("round="):
+            continue
+        suffix = n.split("=", 1)[1]
+        if suffix.isdigit() and os.path.exists(
+            os.path.join(checkpoint_dir, n, "manifest.json")
+        ):
+            out.append(int(suffix))
+    return sorted(out)
+
+
 def bucket_of(host: str, n_buckets: int, salt: int = 0) -> int:
     """Host-hash partition id (optional salt splits a mega-host's frontier
     across buckets while keeping per-host politeness in one actor)."""
@@ -1250,22 +1268,23 @@ class CrawlEngine:
         holds lazy parquet readers over the round directories this folds,
         and moving them mid-run would break the final pages union.
         """
-        import shutil
         import uuid as _uuid
 
+        from crawler_ray.sources.storage import remove_dir_atomic
+
         base = os.path.join(checkpoint_dir, "base")
-        complete = sorted(
-            int(n.split("=")[1])
-            for n in os.listdir(checkpoint_dir)
-            if n.startswith("round=")
-            and os.path.exists(os.path.join(checkpoint_dir, n, "manifest.json"))
-        )
-        doomed = [
-            r for r in complete[:-1]
-            if not os.path.exists(
+        complete = _complete_rounds(checkpoint_dir)
+        # fold only a CONTIGUOUS prefix: stopping at the first legacy
+        # (seen_delta.json) round keeps base/ rounds strictly earlier than
+        # every surviving round dir, so resume's base-first load preserves
+        # crawl order for order/metrics
+        doomed = []
+        for r in complete[:-1]:
+            if os.path.exists(
                 os.path.join(checkpoint_dir, f"round={r:04d}", "seen_delta.json")
-            )
-        ]
+            ):
+                break
+            doomed.append(r)
         if not doomed:
             return {"compacted_rounds": 0}
 
@@ -1305,19 +1324,35 @@ class CrawlEngine:
             with open(mpath) as f:
                 manifests = json.load(f)
         have = {m[0] for m in manifests}
+
+        def _fold_move(src: str, dest: str) -> None:
+            """Move src into base; if dest already exists (replay of a
+            crashed compaction), the previously-folded copy is
+            authoritative and the stale source is dropped."""
+            if not os.path.exists(src):
+                return
+            if os.path.exists(dest):
+                if os.path.isdir(src):
+                    remove_dir_atomic(src)
+                else:
+                    os.remove(src)
+            else:
+                os.replace(src, dest)
+
         for r in doomed:
             d = os.path.join(checkpoint_dir, f"round={r:04d}")
-            pdir = os.path.join(d, "pages")
-            if os.path.isdir(pdir):
-                os.replace(pdir, os.path.join(base, "pages", f"round={r:04d}"))
-            ojson = os.path.join(d, "order.json")
-            odir = os.path.join(d, "order")
-            if os.path.exists(ojson):
-                os.replace(
-                    ojson, os.path.join(base, "order", f"round={r:04d}.json")
-                )
-            elif os.path.isdir(odir):
-                os.replace(odir, os.path.join(base, "order", f"round={r:04d}"))
+            _fold_move(
+                os.path.join(d, "pages"),
+                os.path.join(base, "pages", f"round={r:04d}"),
+            )
+            _fold_move(
+                os.path.join(d, "order.json"),
+                os.path.join(base, "order", f"round={r:04d}.json"),
+            )
+            _fold_move(
+                os.path.join(d, "order"),
+                os.path.join(base, "order", f"round={r:04d}"),
+            )
             if r not in have:
                 with open(os.path.join(d, "manifest.json")) as f:
                     manifests.append([r, json.load(f)])
@@ -1329,10 +1364,7 @@ class CrawlEngine:
 
         # ---- 4. sweep the folded round dirs (manifest gone == folded) ---
         for r in doomed:
-            d = os.path.join(checkpoint_dir, f"round={r:04d}")
-            aside = f"{d}.old-{_uuid.uuid4().hex[:8]}"
-            os.replace(d, aside)
-            shutil.rmtree(aside, ignore_errors=True)
+            remove_dir_atomic(os.path.join(checkpoint_dir, f"round={r:04d}"))
         return {"compacted_rounds": len(doomed), "kept_round": complete[-1]}
 
     @classmethod
@@ -1349,14 +1381,25 @@ class CrawlEngine:
         engine = cls(web, checkpoint_dir=checkpoint_dir, **kwargs)
         if not os.path.isdir(checkpoint_dir):
             return engine.run()
-        complete = sorted(
-            int(n.split("=")[1])
-            for n in os.listdir(checkpoint_dir)
-            if n.startswith("round=")
-            and os.path.exists(os.path.join(checkpoint_dir, n, "manifest.json"))
-        )
-        if not complete:
+        complete = _complete_rounds(checkpoint_dir)
+        # rounds already folded into base/ by compact_checkpoint: if a
+        # compaction crashed between writing base/manifests.json and
+        # sweeping the round dirs, those rounds appear BOTH places — the
+        # base copy wins and the per-round loop skips them (otherwise
+        # metrics/seen would double-count)
+        folded: set[int] = set()
+        bmpath = os.path.join(checkpoint_dir, "base", "manifests.json")
+        if os.path.exists(bmpath):
+            with open(bmpath) as f:
+                folded = {r for r, _ in json.load(f)}
+        if not complete and not folded:
             return engine.run()
+        if not complete:
+            # every complete round was folded (crashed sweep of all dirs
+            # cannot happen — compaction keeps the latest — but a fully
+            # folded dir plus a crash leftover can look like this): restart
+            # after the last folded round with no snapshot to replay
+            complete = [max(folded)]
         start = complete[-1] + 1
         snap = os.path.join(checkpoint_dir, f"round={start:04d}", "frontier")
         if not os.path.isdir(snap):
@@ -1417,6 +1460,8 @@ class CrawlEngine:
                         reroute_files.extend(os.path.join(gdir, f) for f in files)
 
         for rr in complete:
+            if rr in folded:
+                continue  # base/ already carries this round (crashed sweep)
             d = os.path.join(checkpoint_dir, f"round={rr:04d}")
             ojson = os.path.join(d, "order.json")
             odir = os.path.join(d, "order")
@@ -1481,11 +1526,10 @@ class CrawlEngine:
             for p in reroute_files:
                 seen_all.extend(pq.read_table(p)["url_hash"].to_pylist())
         # stream the snapshot as distributed blocks (one per bucket file):
-        # a 10^10-URL frontier must never materialize on the driver
-        frontier_ds = rd.read_parquet(snap, columns=FRONTIER_COLS).map_batches(
-            lambda t: t.select(FRONTIER_COLS).cast(FRONTIER_SCHEMA),
-            batch_format="pyarrow",
-        )
+        # a 10^10-URL frontier must never materialize on the driver.
+        # run() normalizes every caller-supplied frontier to FRONTIER_SCHEMA
+        # at ingestion — no second cast pass here.
+        frontier_ds = rd.read_parquet(snap, columns=FRONTIER_COLS)
         return engine.run(
             start_round=start,
             frontier=frontier_ds,

@@ -72,6 +72,27 @@ def _swap_into_place(tmp: str, path: str) -> None:
         shutil.rmtree(aside, ignore_errors=True)
 
 
+def remove_dir_atomic(path: str) -> None:
+    """Remove a directory without readers ever observing a half-deleted
+    one: rename it aside first (atomic), then delete the aside copy.
+
+    The aside name is DOT-PREFIXED (``.trash-…``) so partition scanners
+    matching ``<key>=`` prefixes never pick up a leftover from a crash
+    between the rename and the rmtree; leftovers are re-swept on the next
+    call into the same parent (best-effort)."""
+    parent, name = os.path.split(os.path.normpath(path))
+    aside = os.path.join(parent, f".trash-{name}-{uuid.uuid4().hex[:8]}")
+    os.replace(path, aside)
+    shutil.rmtree(aside, ignore_errors=True)
+    # opportunistically clear older crash leftovers in the same parent
+    try:
+        for n in os.listdir(parent):
+            if n.startswith(".trash-"):
+                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def read_table(path: str) -> pa.Table:
     if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
         return lance.dataset(path).to_table()
@@ -147,9 +168,6 @@ def retention_sweep(
         doomed = [p for p in parts if p[0] < min_value]
     swept = []
     for value, name in doomed:
-        path = os.path.join(root, name)
-        aside = f"{path}.old-{uuid.uuid4().hex[:8]}"
-        os.replace(path, aside)
-        shutil.rmtree(aside, ignore_errors=True)
+        remove_dir_atomic(os.path.join(root, name))
         swept.append(str(value))
     return swept

@@ -241,3 +241,40 @@ def test_compacted_checkpoint_reroutes_on_shard_change(ray_session, ckpt_dir):
     assert [(r, h) for r, h, _ in resumed.order] == [
         (r, h) for r, h, _ in baseline.order
     ]
+
+
+def test_resume_tolerates_crash_leftovers_and_double_manifests(
+    ray_session, ckpt_dir, tmp_path
+):
+    """Two compaction crash windows must not corrupt resume: a half-swept
+    round dir with a malformed name is ignored, and a folded round whose
+    dir survived (crash between base/manifests.json and the sweep) is not
+    double-counted."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    baseline = _run_full()
+    CrawlEngine(
+        WEB, budget_per_host=BUDGET, max_rounds=3, seen_shards=2,
+        checkpoint_dir=ckpt_dir, record_history=True,
+    ).run()
+    # preserve round 1 as it was, compact, then "crash-restore" it so the
+    # folded round exists in BOTH base/ and its own dir
+    saved = str(tmp_path / "saved_round")
+    shutil.copytree(os.path.join(ckpt_dir, "round=0001"), saved)
+    CrawlEngine.compact_checkpoint(ckpt_dir)
+    shutil.copytree(saved, os.path.join(ckpt_dir, "round=0001"))
+    # malformed leftover names must be ignored by every scanner
+    os.makedirs(os.path.join(ckpt_dir, "round=0001.old-dead99"))
+    os.makedirs(os.path.join(ckpt_dir, ".trash-round=0000-beef00"))
+
+    resumed = CrawlEngine.resume(
+        WEB, ckpt_dir, budget_per_host=BUDGET, max_rounds=40, seen_shards=2,
+        record_history=True,
+    )
+    assert len(resumed.metrics) == len(baseline.metrics)  # no double-count
+    assert [(r, h) for r, h, _ in resumed.order] == [
+        (r, h) for r, h, _ in baseline.order
+    ]
+    assert resumed.seen == baseline.seen
+    # re-running compaction also converges on this state
+    CrawlEngine.compact_checkpoint(ckpt_dir)
