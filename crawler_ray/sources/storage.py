@@ -84,13 +84,20 @@ def remove_dir_atomic(path: str) -> None:
     aside = os.path.join(parent, f".trash-{name}-{uuid.uuid4().hex[:8]}")
     os.replace(path, aside)
     shutil.rmtree(aside, ignore_errors=True)
-    # opportunistically clear older crash leftovers in the same parent
-    try:
-        for n in os.listdir(parent):
-            if n.startswith(".trash-"):
-                shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
-    except OSError:
-        pass
+    # opportunistically clear older crash leftovers — once per parent per
+    # process (a listdir per removal would make a K-partition sweep
+    # O(K x dir-size))
+    if parent not in _SWEPT_PARENTS:
+        _SWEPT_PARENTS.add(parent)
+        try:
+            for n in os.listdir(parent):
+                if n.startswith(".trash-"):
+                    shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+        except OSError:
+            pass
+
+
+_SWEPT_PARENTS: set = set()
 
 
 def read_table(path: str) -> pa.Table:
