@@ -2314,6 +2314,103 @@ def _sql_media_audio_features() -> str:
     )
 
 
+def q_media_phash_dups(sf_dir: str):
+    """IMAGE near-dup detection: crawl -> media spans fetched by CONTENT
+    key (many refs embed the same image, the shape web image dedup exists
+    for) -> actor-pool REAL PNG decode -> vectorized average-hash (aHash)
+    over the decoded 8x8 thumbnails -> duplicate groups per perceptual
+    hash (occurrence count + canonical = min media_ref).  The hash depends
+    on decoded pixel content, so the golden-VALUES oracle (sequential
+    no-Ray replay of crawl + codec + aHash) verifies the whole distributed
+    chain bit-for-bit."""
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import (
+        MediaDecodeStage,
+        ahash_hex,
+        media_rows_shared_content,
+    )
+
+    web = MiniWeb(n_docs=100)
+    res = CrawlEngine(web, budget_per_host=16, max_rounds=24, seen_shards=2).run()
+
+    def phash(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(t["thumb"]).to_numpy(zero_copy_only=False)
+        thumbs = flat.reshape(len(t), -1) if len(t) else flat.reshape(0, 64)
+        return pa.table(
+            {
+                "ahash": pa.array(ahash_hex(thumbs), type=pa.string()),
+                "media_ref": t["media_ref"],
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("ahash", sort=False)
+            .agg(n_refs=("media_ref", "size"), canonical_ref=("media_ref", "min"))
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("ahash", sort=False)
+            .agg(n_refs=("n_refs", "sum"), canonical_ref=("canonical_ref", "min"))
+            .reset_index()
+        )
+
+    return (
+        res.pages.map_batches(media_rows_shared_content, batch_format="pyarrow")
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"codec": "png"},
+            batch_size=32, concurrency=2, num_cpus=1, batch_format="pyarrow",
+        )
+        .map_batches(phash, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
+        .groupby("ahash")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_media_phash_dups() -> str:
+    """Golden-derived VALUES oracle: sequential crawl replay + pure no-Ray
+    content-key fetch + PNG decode + aHash + python aggregation."""
+    import numpy as np
+
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.media import (
+        MediaDecodeStage,
+        ahash_hex,
+        content_key,
+        png_payload,
+    )
+
+    res = golden_crawl(MiniWeb(n_docs=100), budget_per_host=16, max_rounds=24)
+    stage = MediaDecodeStage(codec="png")
+    groups: dict[str, list] = {}
+    for p in res.pages:
+        for s in p["spans"]:
+            if s["kind"] == "media" and s["media_ref"]:
+                payload = png_payload(content_key(s["media_ref"]))
+                thumb, _f, _h, _w = stage._decode_png_one(payload)
+                h = ahash_hex(thumb.reshape(1, -1).astype(np.uint8))[0]
+                g = groups.setdefault(h, [0, s["media_ref"]])
+                g[0] += 1
+                g[1] = min(g[1], s["media_ref"])
+    rows = [
+        "('{}', {}, '{}')".format(h, n, ref.replace("'", "''"))
+        for h, (n, ref) in sorted(groups.items())
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(ahash, "
+        "n_refs, canonical_ref)"
+    )
+
+
 # ===================================================== quantiles / sampling
 
 
@@ -3907,6 +4004,7 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "media_frame_sample": q_media_frame_sample,
     "media_audio_features": q_media_audio_features,
+    "media_phash_dups": q_media_phash_dups,
     "span_kind_stats": q_span_kind_stats,
     "span_boilerplate": q_span_boilerplate,
 }
@@ -3978,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": _sql_doc_bm25(),
         "media_frame_sample": _sql_media_frame_sample(),
         "media_audio_features": _sql_media_audio_features(),
+        "media_phash_dups": _sql_media_phash_dups(),
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }

@@ -90,6 +90,51 @@ def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096,
     )
 
 
+def content_key(media_ref: str, n_variants: int = 12) -> str:
+    """Reduced-cardinality content key: the deterministic stand-in for a
+    web where many pages embed the SAME image under different URLs — the
+    duplication shape perceptual-hash dedup exists for.  md5-keyed so the
+    golden replay reproduces it exactly."""
+    v = int.from_bytes(
+        hashlib.md5(media_ref.encode()).digest()[:4], "big"
+    ) % n_variants
+    return f"img://content/{v}"
+
+
+def media_rows_shared_content(batch: pa.Table, n_variants: int = 12) -> pa.Table:
+    """pages(spans) -> media rows whose payloads are fetched by CONTENT
+    key (many refs -> one image), keeping the original media_ref column —
+    the input shape for image near-dup detection."""
+    refs = []
+    for spans in batch["spans"].to_pylist():
+        for s in spans or []:
+            if s["kind"] == "media" and s["media_ref"]:
+                refs.append(s["media_ref"])
+    payloads = [png_payload(content_key(r, n_variants)) for r in refs]
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "kind": pa.array(["image"] * len(refs), type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+def ahash_hex(thumbs: np.ndarray) -> np.ndarray:
+    """Average-hash (aHash) per image: bit i = pixel_i > image mean, packed
+    big-endian to a 16-hex-char string.  ``thumbs`` is (n, 64) uint8 (the
+    decode stage's 8x8 thumbnails row-major).  Vectorized threshold+pack;
+    the final hex formatting is per-image (images per batch are bounded by
+    the small media batch_size)."""
+    if len(thumbs) == 0:
+        return np.empty(0, dtype=object)
+    means = thumbs.mean(axis=1, keepdims=True)
+    bits = (thumbs > means).astype(np.uint8)
+    packed = np.packbits(bits, axis=1)
+    return np.array([p.tobytes().hex() for p in packed], dtype=object)
+
+
 VIDEO_MAGIC = b"VSEQ"
 
 

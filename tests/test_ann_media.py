@@ -189,3 +189,31 @@ def test_audio_stage_batch(ray_session):
     assert out.num_rows == 4
     assert "payload" not in out.column_names
     assert all(v > 0 for v in out["energy"].to_pylist())
+
+
+def test_ahash_kernel_properties():
+    """aHash: vectorized threshold+pack matches a per-image reference;
+    constant images hash to all-zero bits (no pixel exceeds the mean)."""
+    import numpy as np
+
+    from crawler_ray.stages.media import ahash_hex
+
+    rng = np.random.default_rng(11)
+    thumbs = rng.integers(0, 256, size=(17, 64), dtype=np.uint8)
+    got = ahash_hex(thumbs)
+    for i in range(len(thumbs)):
+        bits = (thumbs[i] > thumbs[i].mean()).astype(np.uint8)
+        exp = np.packbits(bits).tobytes().hex()
+        assert got[i] == exp
+    flat = np.full((1, 64), 77, dtype=np.uint8)
+    assert ahash_hex(flat)[0] == "0" * 16
+    assert len(ahash_hex(np.empty((0, 64), dtype=np.uint8))) == 0
+
+
+def test_content_key_reduces_cardinality_deterministically():
+    from crawler_ray.stages.media import content_key
+
+    refs = [f"img://host/{i}" for i in range(200)]
+    keys = {content_key(r) for r in refs}
+    assert 1 < len(keys) <= 12
+    assert all(content_key(r) == content_key(r) for r in refs[:5])
