@@ -106,20 +106,29 @@ def read_table(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-def write_dataset(ds, path: str, skip_existing: bool = False) -> str:
+def write_dataset(
+    ds, path: str, skip_existing: bool = False, format: str = "auto"
+) -> str:
     """Write a ray.data.Dataset as a dataset directory (streaming), under
     the module's resumable contract: blocks stream into a temp dir that is
     renamed into place LAST, so a crashed write never leaves a
     partial-but-visible partition, and ``skip_existing=True`` makes reruns
-    skip completed partitions (directory presence == completeness)."""
+    skip completed partitions (directory presence == completeness).
+
+    ``format``: ``"auto"`` (Lance when available, else parquet),
+    ``"parquet"``, or ``"jsonl"`` (newline-delimited JSON — the common
+    text-corpus interchange format; one ``.jsonl`` file per block,
+    streaming, same atomic-rename contract)."""
     if skip_existing and os.path.isdir(path):
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     try:
-        if HAVE_LANCE and hasattr(ds, "write_lance"):
-            ds.write_lance(tmp)
-        else:
+        if format == "jsonl":
+            ds.write_json(tmp)
+        elif format == "parquet" or not (HAVE_LANCE and hasattr(ds, "write_lance")):
             ds.write_parquet(tmp)
+        else:
+            ds.write_lance(tmp)
         _swap_into_place(tmp, path)
     finally:
         if os.path.isdir(tmp):
@@ -127,12 +136,21 @@ def write_dataset(ds, path: str, skip_existing: bool = False) -> str:
     return path
 
 
-def read_dataset(path: str):
+def read_dataset(path: str, columns: list[str] | None = None):
+    """Read a dataset directory, auto-detecting the backend (Lance /
+    parquet / jsonl).  ``columns`` prunes at the read for the columnar
+    backends; jsonl is row-oriented, so pruning happens right after parse
+    (still before anything wide enters the pipeline)."""
     import ray.data as rd
 
     if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
-        return rd.read_lance(path)
-    return rd.read_parquet(path)
+        return rd.read_lance(path, columns=columns)
+    if os.path.isdir(path) and any(
+        n.endswith((".json", ".jsonl")) for n in os.listdir(path)
+    ):
+        ds = rd.read_json(path)
+        return ds.select_columns(columns) if columns else ds
+    return rd.read_parquet(path, columns=columns)
 
 
 def retention_sweep(

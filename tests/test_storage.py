@@ -107,3 +107,28 @@ def test_retention_sweep_min_value_cutoff():
             storage.retention_sweep(root, keep=1, min_value=2)
         # sweeping an empty/missing root is a no-op
         assert storage.retention_sweep(os.path.join(root, "nope"), keep=1) == []
+
+
+def test_jsonl_roundtrip_and_autodetect(ray_session, tmp_path):
+    import ray.data as rd
+
+    from crawler_ray.sources import storage
+
+    ds = rd.range(50).map_batches(
+        lambda df: df.assign(text=df["id"].map(lambda i: f"doc {i}")),
+        batch_format="pandas",
+    )
+    path = str(tmp_path / "part=jsonl")
+    storage.write_dataset(ds, path, format="jsonl")
+    assert any(n.endswith(".json") or n.endswith(".jsonl")
+               for n in os.listdir(path))
+    back = storage.read_dataset(path)
+    rows = back.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(rows) == 50 and rows.loc[7, "text"] == "doc 7"
+    # column pruning on the row-oriented backend
+    only = storage.read_dataset(path, columns=["text"])
+    assert only.schema().names == ["text"]
+    # parquet autodetect unaffected
+    ppath = str(tmp_path / "part=pq")
+    storage.write_dataset(rd.range(5), ppath, format="parquet")
+    assert storage.read_dataset(ppath).count() == 5
