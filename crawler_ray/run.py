@@ -19,6 +19,12 @@ Config shapes:
      "variables": {...},
      "steps": [{"name": ..., "type": "crawl"|"scrape", ...}]}
 
+3. offline checkpoint maintenance (between crawl sessions)::
+
+    {"kind": "compact", "checkpoint_dir": "/tmp/ckpt",
+     "retention_root": null, "retention_keep": null,
+     "retention_min_value": null}
+
 Outputs land under ``--output`` as parquet (documents / items) plus a
 ``result.json`` summary.  Owns its Ray session (guarded init) — the only
 module besides bench.py and the test fixture that does.
@@ -97,6 +103,22 @@ def main(argv: list[str] | None = None) -> int:
             dead_letters=len(result.dlq_rows),
             metrics=result.metrics,
         )
+    elif cfg["kind"] == "compact":
+        # offline checkpoint maintenance (docstring: run BETWEEN crawl
+        # sessions): fold old rounds into base/, optionally sweep aged
+        # output partitions elsewhere via retention
+        from crawler_ray.pipelines.crawl import CrawlEngine
+
+        summary.update(CrawlEngine.compact_checkpoint(cfg["checkpoint_dir"]))
+        if cfg.get("retention_root"):
+            from crawler_ray.sources.storage import retention_sweep
+
+            summary["swept"] = retention_sweep(
+                cfg["retention_root"],
+                keep=cfg.get("retention_keep"),
+                min_value=cfg.get("retention_min_value"),
+                partition_key=cfg.get("retention_key", "round"),
+            )
     elif cfg["kind"] == "workflow":
         from crawler_ray.pipelines.workflow import WorkflowRunner
 
