@@ -2391,13 +2391,18 @@ def _sql_media_phash_dups() -> str:
 
     res = golden_crawl(MiniWeb(n_docs=100), budget_per_host=16, max_rounds=24)
     stage = MediaDecodeStage(codec="png")
+    hash_of_key: dict[str, str] = {}  # decode+hash once per content key
     groups: dict[str, list] = {}
     for p in res.pages:
         for s in p["spans"]:
             if s["kind"] == "media" and s["media_ref"]:
-                payload = png_payload(content_key(s["media_ref"]))
-                thumb, _f, _h, _w = stage._decode_png_one(payload)
-                h = ahash_hex(thumb.reshape(1, -1).astype(np.uint8))[0]
+                k = content_key(s["media_ref"])
+                if k not in hash_of_key:
+                    thumb, _f, _h, _w = stage._decode_png_one(png_payload(k))
+                    hash_of_key[k] = ahash_hex(
+                        thumb.reshape(1, -1).astype(np.uint8)
+                    )[0]
+                h = hash_of_key[k]
                 g = groups.setdefault(h, [0, s["media_ref"]])
                 g[0] += 1
                 g[1] = min(g[1], s["media_ref"])

@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -138,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
     with open(os.path.join(args.output, "result.json"), "w") as f:
         json.dump(summary, f, default=str)
     print(json.dumps({k: v for k, v in summary.items() if k != "metrics"}))
-    ray.shutdown()
+    if owns_session:  # never tear down a caller's (e.g. a test's) session
+        ray.shutdown()
     return 0
 
 

@@ -117,8 +117,11 @@ def write_dataset(
 
     ``format``: ``"auto"`` (Lance when available, else parquet),
     ``"parquet"``, or ``"jsonl"`` (newline-delimited JSON — the common
-    text-corpus interchange format; one ``.jsonl`` file per block,
-    streaming, same atomic-rename contract)."""
+    text-corpus interchange format; Ray emits one ``.json`` file of
+    newline-delimited records per block, streaming, same atomic-rename
+    contract)."""
+    if format not in ("auto", "parquet", "jsonl"):
+        raise ValueError(f"unknown format {format!r} (auto/parquet/jsonl)")
     if skip_existing and os.path.isdir(path):
         return path
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -145,11 +148,17 @@ def read_dataset(path: str, columns: list[str] | None = None):
 
     if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
         return rd.read_lance(path, columns=columns)
-    if os.path.isdir(path) and any(
-        n.endswith((".json", ".jsonl")) for n in os.listdir(path)
-    ):
-        ds = rd.read_json(path)
-        return ds.select_columns(columns) if columns else ds
+    if os.path.isdir(path):
+        names = os.listdir(path)
+        # parquet wins whenever parquet data files exist: checkpoint-style
+        # dirs carry .json SIDECARS (manifest.json, order.json) next to
+        # the data — presence of a .json file alone must not reroute the
+        # read away from the actual rows
+        has_parquet = any(n.endswith(".parquet") for n in names)
+        has_json = any(n.endswith((".json", ".jsonl")) for n in names)
+        if has_json and not has_parquet:
+            ds = rd.read_json(path)
+            return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(path, columns=columns)
 
 

@@ -66,28 +66,39 @@ def png_payload(media_ref: str, h: int = 48, w: int = 64) -> bytes:
     return encode_png_gray(synth_image(media_ref, h, w))
 
 
-def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096,
-                          payload_codec: str = "png") -> pa.Table:
-    """pages(spans) -> media table rows (one per media span), payload
-    "fetched" via the deterministic blob store (real PNG bytes by
-    default)."""
+def _media_refs(batch: pa.Table) -> list:
+    """Extract every media span's ref from a pages(spans) batch, in span
+    order — the shared front half of every *_rows_from_spans builder."""
     refs = []
     for spans in batch["spans"].to_pylist():
         for s in spans or []:
             if s["kind"] == "media" and s["media_ref"]:
                 refs.append(s["media_ref"])
-    if payload_codec == "png":
-        payloads = [png_payload(r) for r in refs]
-    else:
-        payloads = [synth_payload(r, payload_bytes) for r in refs]
+    return refs
+
+
+def _media_table(refs: list, payloads: list, kind: str) -> pa.Table:
     return pa.table(
         {
             "media_ref": pa.array(refs, type=pa.string()),
-            "kind": pa.array(["image"] * len(refs), type=pa.string()),
+            "kind": pa.array([kind] * len(refs), type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
             "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )
+
+
+def media_rows_from_spans(batch: pa.Table, payload_bytes: int = 4096,
+                          payload_codec: str = "png") -> pa.Table:
+    """pages(spans) -> media table rows (one per media span), payload
+    "fetched" via the deterministic blob store (real PNG bytes by
+    default)."""
+    refs = _media_refs(batch)
+    if payload_codec == "png":
+        payloads = [png_payload(r) for r in refs]
+    else:
+        payloads = [synth_payload(r, payload_bytes) for r in refs]
+    return _media_table(refs, payloads, "image")
 
 
 def content_key(media_ref: str, n_variants: int = 12) -> str:
@@ -104,21 +115,17 @@ def content_key(media_ref: str, n_variants: int = 12) -> str:
 def media_rows_shared_content(batch: pa.Table, n_variants: int = 12) -> pa.Table:
     """pages(spans) -> media rows whose payloads are fetched by CONTENT
     key (many refs -> one image), keeping the original media_ref column —
-    the input shape for image near-dup detection."""
-    refs = []
-    for spans in batch["spans"].to_pylist():
-        for s in spans or []:
-            if s["kind"] == "media" and s["media_ref"]:
-                refs.append(s["media_ref"])
-    payloads = [png_payload(content_key(r, n_variants)) for r in refs]
-    return pa.table(
-        {
-            "media_ref": pa.array(refs, type=pa.string()),
-            "kind": pa.array(["image"] * len(refs), type=pa.string()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
-        }
-    )
+    the input shape for image near-dup detection.  Payloads are encoded
+    once per distinct content key (<= n_variants per batch), not per ref."""
+    refs = _media_refs(batch)
+    cache: dict = {}
+    payloads = []
+    for r in refs:
+        k = content_key(r, n_variants)
+        if k not in cache:
+            cache[k] = png_payload(k)
+        payloads.append(cache[k])
+    return _media_table(refs, payloads, "image")
 
 
 def ahash_hex(thumbs: np.ndarray) -> np.ndarray:
@@ -183,20 +190,8 @@ def sample_frame_indices(n_frames: int, k: int) -> list[int]:
 def video_rows_from_spans(batch: pa.Table) -> pa.Table:
     """pages(spans) -> video table rows (one per media span), payload
     "fetched" as a deterministic VSEQ multi-frame container."""
-    refs = []
-    for spans in batch["spans"].to_pylist():
-        for s in spans or []:
-            if s["kind"] == "media" and s["media_ref"]:
-                refs.append(s["media_ref"])
-    payloads = [video_payload(r) for r in refs]
-    return pa.table(
-        {
-            "media_ref": pa.array(refs, type=pa.string()),
-            "kind": pa.array(["video"] * len(refs), type=pa.string()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
-        }
-    )
+    refs = _media_refs(batch)
+    return _media_table(refs, [video_payload(r) for r in refs], "video")
 
 
 class MediaDecodeStage:
@@ -388,20 +383,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def audio_rows_from_spans(batch: pa.Table) -> pa.Table:
     """pages(spans) -> audio table rows (one per media span), payload
     "fetched" as a deterministic real WAV blob."""
-    refs = []
-    for spans in batch["spans"].to_pylist():
-        for s in spans or []:
-            if s["kind"] == "media" and s["media_ref"]:
-                refs.append(s["media_ref"])
-    payloads = [wav_payload(r) for r in refs]
-    return pa.table(
-        {
-            "media_ref": pa.array(refs, type=pa.string()),
-            "kind": pa.array(["audio"] * len(refs), type=pa.string()),
-            "payload": pa.array(payloads, type=pa.binary()),
-            "n_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
-        }
-    )
+    refs = _media_refs(batch)
+    return _media_table(refs, [wav_payload(r) for r in refs], "audio")
 
 
 class AudioFeatureStage:
