@@ -3778,6 +3778,64 @@ ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
 # span construction and the span-level aggregation.
 # ---------------------------------------------------------------------------
 
+def q_doc_clean(sf_dir: str):
+    """Text cleaning/normalization — the training-data staple (Unicode NFC
+    + whitespace collapse incl. NBSP + trim), as a stateless zero-shuffle
+    Arrow map (pyarrow.compute kernels, RE2 regex — the same engine DuckDB
+    uses, so the oracle is byte-exact).  The corpus text is clean by
+    construction, so a deterministic per-doc DIRTYING rule (doubled spaces
+    / NBSPs) runs first on both sides — the cleaner provably does real
+    work (n_collapsed > 0) and the oracle checks the normalization itself,
+    not an identity map."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        doubled = pc.replace_substring(t["text"], " ", "  ")
+        nbsp = pc.replace_substring(t["text"], " ", "\u00a0")
+        mod3 = pa.array(ids % 3)
+        dirty = pc.if_else(
+            pc.equal(mod3, 0), doubled,
+            pc.if_else(pc.equal(mod3, 1), nbsp, t["text"]),
+        )
+        norm = pc.utf8_normalize(dirty, form="NFC")
+        coll = pc.replace_substring_regex(norm, r"[\s\x{00A0}]+", " ")
+        out = pc.utf8_trim(coll, " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": out,
+                "clean_chars": pc.utf8_length(out),
+                "n_collapsed": pc.subtract(
+                    pc.utf8_length(dirty), pc.utf8_length(out)
+                ),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+SQL_DOC_CLEAN = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', '  ')
+              WHEN doc_id % 3 = 1 THEN replace(text, ' ', chr(160))
+              ELSE text END AS d
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, d,
+         trim(regexp_replace(nfc_normalize(d), '[\s\x{00A0}]+', ' ', 'g'),
+              ' ') AS c
+  FROM dirty)
+SELECT doc_id, c AS clean_text, CAST(length(c) AS INT) AS clean_chars,
+       CAST(length(d) - length(c) AS INT) AS n_collapsed
+FROM cleaned
+"""
+
+
 SPAN_W = 4  # words per text span (shared by Ray + SQL paths)
 
 _SQL_SPAN_CHUNKS = f"""
@@ -4010,6 +4068,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_features": q_media_audio_features,
     "media_phash_dups": q_media_phash_dups,
+    "doc_clean": q_doc_clean,
     "span_kind_stats": q_span_kind_stats,
     "span_boilerplate": q_span_boilerplate,
 }
@@ -4082,6 +4141,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": _sql_media_frame_sample(),
         "media_audio_features": _sql_media_audio_features(),
         "media_phash_dups": _sql_media_phash_dups(),
+        "doc_clean": SQL_DOC_CLEAN,
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }
