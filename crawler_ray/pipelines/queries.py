@@ -3836,6 +3836,74 @@ FROM cleaned
 """
 
 
+TOPQ_K_FRAC = 4  # keep the top 1/4 of docs by score
+
+
+def q_doc_topq_filter(sf_dir: str):
+    """Corpus-quantile filtering — "keep the top 1/q of documents by
+    score", the selection step of every score-based curation pipeline.
+    Exact rank semantics with tie-INCLUSION: boundary = the k-th highest
+    score (k = ceil(N/q)); every doc with score >= boundary survives.
+
+    Two passes, no corpus shuffle: (1) per-batch (score, n) partials
+    collapse to a distinct-score histogram (bounded by |score domain| —
+    here n_chars; unbounded domains switch to the deterministic bottom-k
+    sketch, see price_quantiles_sketch); the boundary resolves from that
+    bounded aggregate on the driver; (2) a broadcast-threshold stateless
+    filter streams the corpus.  Output: per-source survivor stats."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    n_docs = ds.count()
+    k = -(-n_docs // TOPQ_K_FRAC)  # ceil
+
+    hist = (
+        ds.map_batches(
+            lambda df: df.groupby("n_chars", sort=False)
+            .size().rename("n").reset_index(),
+            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        )
+        .groupby("n_chars")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per DISTINCT score value
+        .sort_values("n_chars", ascending=False)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    boundary = int(hist["n_chars"].to_numpy()[np.searchsorted(cum, k)])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["n_chars"] >= boundary]
+        return (
+            keep.groupby("source", sort=False)
+            .agg(n_kept=("doc_id", "size"), sum_chars=("n_chars", "sum"),
+                 min_score=("n_chars", "min"))
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(survivors, batch_format="pandas",
+                       batch_size=PARTIAL_BATCH)
+        .groupby("source")
+        .aggregate(Sum("n_kept", alias_name="n_kept"),
+                   Sum("sum_chars", alias_name="sum_chars"),
+                   Min("min_score", alias_name="min_score"))
+    )
+
+
+SQL_DOC_TOPQ = f"""
+WITH b AS (
+  SELECT n_chars AS boundary FROM documents
+  ORDER BY n_chars DESC
+  LIMIT 1 OFFSET (
+    SELECT CAST(ceil(COUNT(*) / {TOPQ_K_FRAC}.0) AS BIGINT) - 1
+    FROM documents)
+)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(n_chars) AS min_score
+FROM documents, b WHERE n_chars >= b.boundary
+GROUP BY source
+"""
+
+
 SPAN_W = 4  # words per text span (shared by Ray + SQL paths)
 
 _SQL_SPAN_CHUNKS = f"""
@@ -4069,6 +4137,7 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "media_phash_dups": q_media_phash_dups,
     "doc_clean": q_doc_clean,
+    "doc_topq_filter": q_doc_topq_filter,
     "span_kind_stats": q_span_kind_stats,
     "span_boilerplate": q_span_boilerplate,
 }
@@ -4142,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": _sql_media_audio_features(),
         "media_phash_dups": _sql_media_phash_dups(),
         "doc_clean": SQL_DOC_CLEAN,
+        "doc_topq_filter": SQL_DOC_TOPQ,
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }
