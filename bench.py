@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     # span table: synthesize list<struct> spans, flatten, two bucketed
     # exchanges (span x source, then span) — no broadcast, no driver state
     "span_boilerplate",
+    # stateless zero-shuffle Arrow cleaning map (NFC + whitespace collapse)
+    "doc_clean",
+    # corpus-quantile filter: bounded histogram -> broadcast threshold
+    "doc_topq_filter",
 ]
 
 
