@@ -3836,6 +3836,68 @@ FROM cleaned
 """
 
 
+def q_doc_triangles(sf_dir: str):
+    """Triangle count of the near-dup similarity graph (the clustering
+    structure metric over the exact-Jaccard edge set): every edge (a, b)
+    satisfies a < b, so each triangle a < b < c is counted once via the
+    standard two-join closure — wedge join (a,b)x(b,c) on the shared
+    endpoint, then a composite-key semi-join back against the edge set to
+    close (a,c).  Both joins are the partitioned hash join (no broadcast,
+    no driver state beyond the final two scalars)."""
+    import pyarrow.compute as pc
+
+    from crawler_ray.stages.join import hash_join
+
+    edges = (
+        q_doc_jaccard_pairs(sf_dir)
+        .select_columns(["a_doc_id", "b_doc_id"])
+        .materialize()  # consumed by three join sides — compute pairs once
+    )
+    n_edges = edges.count()
+
+    e1 = edges.map_batches(
+        lambda t: t.rename_columns(["w_a", "w_b"]), batch_format="pyarrow"
+    )
+    e2 = edges.map_batches(
+        lambda t: t.rename_columns(["w_b2", "w_c"]), batch_format="pyarrow"
+    )
+    wedges = hash_join(e1, e2, "w_b", "w_b2")
+
+    def ckey(t: pa.Table, a: str, b: str, out: str) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t[a], pa.string()), pc.cast(t[b], pa.string()), "|"
+        )
+        return t.append_column(out, k)
+
+    wk = wedges.map_batches(
+        lambda t: ckey(t, "w_a", "w_c", "wkey").select(["wkey"]),
+        batch_format="pyarrow",
+    )
+    ek = edges.map_batches(
+        lambda t: ckey(t, "a_doc_id", "b_doc_id", "ekey").select(["ekey"]),
+        batch_format="pyarrow",
+    )
+    closed = hash_join(wk, ek, "wkey", "ekey")
+    n_tri = closed.count()
+    return pa.table(
+        {
+            "n_triangles": pa.array([n_tri], type=pa.int64()),
+            "n_edges": pa.array([n_edges], type=pa.int64()),
+        }
+    )
+
+
+SQL_DOC_TRIANGLES = f"""
+WITH e AS (
+  SELECT a_doc_id AS a, b_doc_id AS b FROM ({SQL_JACCARD_PAIRS})
+)
+SELECT (SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+       (SELECT COUNT(*) FROM e) AS n_edges
+"""
+
+
 TOPQ_K_FRAC = 4  # keep the top 1/4 of docs by score
 
 
@@ -4138,6 +4200,7 @@ QUERIES = {
     "media_phash_dups": q_media_phash_dups,
     "doc_clean": q_doc_clean,
     "doc_topq_filter": q_doc_topq_filter,
+    "doc_triangles": q_doc_triangles,
     "span_kind_stats": q_span_kind_stats,
     "span_boilerplate": q_span_boilerplate,
 }
@@ -4212,6 +4275,7 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_dups": _sql_media_phash_dups(),
         "doc_clean": SQL_DOC_CLEAN,
         "doc_topq_filter": SQL_DOC_TOPQ,
+        "doc_triangles": SQL_DOC_TRIANGLES,
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }
