@@ -3836,6 +3836,71 @@ FROM cleaned
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Funnel analysis — users converting through view -> click ->
+    purchase in strict timestamp order (stage k counts users with a
+    stage-k event strictly after their earliest stage-(k-1) conversion
+    time).  Users are hash-bucketed so each Ray group resolves its users'
+    whole event streams with three vectorized pandas passes (min-per-user
+    + merge + filter); buckets emit per-stage partial counts and the
+    final groupby sums O(stages) rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    n_buckets = n_buckets_for_cluster()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(t["user_id"], n_buckets - 1)
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # Series: user_id -> conversion time of previous stage
+        counts = []
+        for stage in FUNNEL_STAGES:
+            ev = df[df["event_type"] == stage]
+            if prev is not None:
+                ev = ev.merge(prev.rename("prev_t"), on="user_id")
+                ev = ev[ev["ts"] > ev["prev_t"]]
+            cur = ev.groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {
+                "stage": [" > ".join(FUNNEL_STAGES[: i + 1])
+                          for i in range(len(FUNNEL_STAGES))],
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pandas")
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT 'view > click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 'view > click > purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
 def q_doc_triangles(sf_dir: str):
     """Triangle count of the near-dup similarity graph (the clustering
     structure metric over the exact-Jaccard edge set): every edge (a, b)
@@ -4201,6 +4266,7 @@ QUERIES = {
     "doc_clean": q_doc_clean,
     "doc_topq_filter": q_doc_topq_filter,
     "doc_triangles": q_doc_triangles,
+    "events_funnel": q_events_funnel,
     "span_kind_stats": q_span_kind_stats,
     "span_boilerplate": q_span_boilerplate,
 }
@@ -4276,6 +4342,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clean": SQL_DOC_CLEAN,
         "doc_topq_filter": SQL_DOC_TOPQ,
         "doc_triangles": SQL_DOC_TRIANGLES,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
     }
