@@ -3794,26 +3794,45 @@ def q_doc_clean(sf_dir: str):
     def clean(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        doubled = pc.replace_substring(t["text"], " ", "  ")
-        nbsp = pc.replace_substring(t["text"], " ", "\u00a0")
         mod3 = pa.array(ids % 3)
-        dirty = pc.if_else(
-            pc.equal(mod3, 0), doubled,
-            pc.if_else(pc.equal(mod3, 1), nbsp, t["text"]),
-        )
-        norm = pc.utf8_normalize(dirty, form="NFC")
-        coll = pc.replace_substring_regex(norm, r"[\s\x{00A0}]+", " ")
-        out = pc.utf8_trim(coll, " ")
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "clean_text": out,
-                "clean_chars": pc.utf8_length(out),
-                "n_collapsed": pc.subtract(
-                    pc.utf8_length(dirty), pc.utf8_length(out)
-                ),
-            }
-        )
+        # dirty each mod-3 subset with ITS rule only (an if_else over
+        # whole-column rewrites would pay every rewrite for every row);
+        # output order is irrelevant \u2014 the compare sorts rows
+        parts = []
+        for r, dirty_fn in (
+            (0, lambda a: pc.replace_substring(a, " ", "  ")),
+            (1, lambda a: pc.replace_substring(a, " ", "\u00a0")),
+            (2, lambda a: a),
+        ):
+            sub = t.filter(pc.equal(mod3, r))
+            if sub.num_rows == 0:
+                continue
+            dirty = dirty_fn(sub["text"])
+            norm = pc.utf8_normalize(dirty, form="NFC")
+            coll = pc.replace_substring_regex(norm, r"[\s\x{00A0}]+", " ")
+            out = pc.utf8_trim(coll, " ")
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub["doc_id"],
+                        "clean_text": out,
+                        "clean_chars": pc.utf8_length(out),
+                        "n_collapsed": pc.subtract(
+                            pc.utf8_length(dirty), pc.utf8_length(out)
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "clean_chars": pa.array([], pa.int32()),
+                    "n_collapsed": pa.array([], pa.int32()),
+                }
+            )
+        return pa.concat_tables(parts)
 
     return ds.map_batches(clean, batch_format="pyarrow")
 
@@ -3853,6 +3872,11 @@ def q_events_funnel(sf_dir: str):
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # drop non-funnel event types BEFORE the exchange — they are never
+        # used, and at real scale they are ~half the shuffle volume
+        t = t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(FUNNEL_STAGES))
+        )
         b = pc.bit_wise_and(t["user_id"], n_buckets - 1)
         return t.append_column("bucket", pc.cast(b, pa.int64()))
 
@@ -3982,14 +4006,18 @@ def q_doc_topq_filter(sf_dir: str):
     n_docs = ds.count()
     k = -(-n_docs // TOPQ_K_FRAC)  # ceil
 
+    # bucketed combine, not groupby().aggregate(): the distinct-score
+    # domain reaches thousands of values, exactly the regime where Ray's
+    # per-group reduce serializes (see stages/combine.py)
     hist = (
-        ds.map_batches(
-            lambda df: df.groupby("n_chars", sort=False)
-            .size().rename("n").reset_index(),
-            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        _bucketed_combine(
+            ds.map_batches(
+                lambda df: df.groupby("n_chars", sort=False)
+                .size().rename("n").reset_index(),
+                batch_format="pandas", batch_size=PARTIAL_BATCH,
+            ),
+            ["n_chars"], {"n": ("n", "sum")},
         )
-        .groupby("n_chars")
-        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # bounded: one row per DISTINCT score value
         .sort_values("n_chars", ascending=False)
     )
