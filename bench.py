@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "doc_clean",
     # corpus-quantile filter: bounded histogram -> broadcast threshold
     "doc_topq_filter",
+    # staged-conversion funnel (user-bucketed; non-funnel types filtered
+    # pre-shuffle).  doc_triangles is intentionally absent: it re-runs the
+    # exact jaccard join (~28 s at sf0.1, excluded for the same reason as
+    # doc_jaccard_pairs itself)
+    "events_funnel",
 ]
 
 
