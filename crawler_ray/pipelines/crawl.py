@@ -1394,6 +1394,7 @@ class CrawlEngine:
                 folded = {r for r, _ in json.load(f)}
         if not complete and not folded:
             return engine.run()
+        all_folded = not complete
         if not complete:
             # every complete round was folded (crashed sweep of all dirs
             # cannot happen — compaction keeps the latest — but a fully
@@ -1403,6 +1404,16 @@ class CrawlEngine:
         start = complete[-1] + 1
         snap = os.path.join(checkpoint_dir, f"round={start:04d}", "frontier")
         if not os.path.isdir(snap):
+            if all_folded:
+                # the generic rewind would snap at round=<max(folded)> —
+                # a directory compaction already swept — and die later
+                # with an opaque read_parquet error; fail loudly instead
+                raise RuntimeError(
+                    f"compacted checkpoint {checkpoint_dir!r} lost its "
+                    f"latest round snapshot (round={start:04d}/frontier "
+                    "missing and every earlier round is folded into "
+                    "base/); cannot resume"
+                )
             # crashed after finishing round `last` but before snapshotting the
             # next frontier: replay the last complete round from its snapshot
             start = complete[-1]
@@ -1422,10 +1433,14 @@ class CrawlEngine:
             if os.path.exists(mpath):
                 with open(mpath) as f:
                     metrics.extend(m for _, m in json.load(f))
+            # round dirs are :04d-padded, so past round 9999 names mix
+            # widths and lexicographic order scrambles the replay — sort
+            # by the parsed integer round, exactly as _complete_rounds does
+            _round_of = lambda n: int(n.split("=")[1].split(".")[0])  # noqa: E731
             obase = os.path.join(bdir, "order")
             if os.path.isdir(obase):
-                for name in sorted(os.listdir(obase)):
-                    rr0 = int(name.split("=")[1].split(".")[0])
+                for name in sorted(os.listdir(obase), key=_round_of):
+                    rr0 = _round_of(name)
                     p = os.path.join(obase, name)
                     if name.endswith(".json"):
                         with open(p) as f:
@@ -1442,7 +1457,7 @@ class CrawlEngine:
                         )
             pbase = os.path.join(bdir, "pages")
             if os.path.isdir(pbase):
-                for name in sorted(os.listdir(pbase)):
+                for name in sorted(os.listdir(pbase), key=_round_of):
                     pages.append(rd.read_parquet(os.path.join(pbase, name)))
             sbase = os.path.join(bdir, "seen_delta")
             if os.path.isdir(sbase):

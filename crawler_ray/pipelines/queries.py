@@ -46,6 +46,34 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Datas
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _meta_rows(sf_dir: str, name: str) -> int | None:
+    """Table row count from the parquet footer — O(footer), never a scan.
+    Feeds :func:`n_buckets_for_rows` so raw-stream map_groups operators
+    size their exchange by data volume, not just cluster CPUs."""
+    try:
+        return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    except Exception:
+        return None
+
+
+def _meta_col_bytes(sf_dir: str, name: str, col: str) -> int | None:
+    """Total UNCOMPRESSED bytes of one column, from the parquet footer.
+    The volume estimator for derived streams whose row count is data-
+    dependent (e.g. text spans: ~bytes(text)/span_width rows)."""
+    try:
+        md = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata
+        total = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col:
+                    total += c.total_uncompressed_size
+        return total
+    except Exception:
+        return None
+
+
 # Conventions (see crawler_ray/stages/combine.py for the measurements):
 # - every partial-aggregation map_batches passes batch_size=PARTIAL_BATCH
 #   (1M rows, coalescing across block boundaries so partials actually
@@ -59,6 +87,7 @@ from crawler_ray.stages.combine import (  # noqa: E402
     PARTIAL_BATCH,
     bucketed_combine as _bucketed_combine,
     n_buckets_for_cluster,
+    n_buckets_for_rows,
 )
 
 
@@ -954,12 +983,15 @@ def _verify_candidates(candidates: "rd.Dataset", sf_dir: str) -> "rd.Dataset":
         for r in candidates.take_all():
             cand_ids.add(r["a_doc_id"])
             cand_ids.add(r["b_doc_id"])
-        idref = ray.put(cand_ids)
+        # the filter runs over the FULL corpus scan — keep it an Arrow
+        # is_in kernel against a broadcast value_set, never a Python
+        # per-row membership loop
+        idref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
 
         def only_cands(t: pa.Table) -> pa.Table:
-            ids = ray.get(idref)
-            mask = [d in ids for d in t["doc_id"].to_pylist()]
-            return t.filter(pa.array(mask, type=pa.bool_()))
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(idref)))
 
         sets = {
             r["doc_id"]: frozenset(r["shingles"])
@@ -3273,7 +3305,10 @@ def q_events_window_rank(sf_dir: str):
     Python call per user); all outputs are integral (microsecond gaps,
     cent-exact running sums) so the oracle compare is bit-exact."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
-    n_buckets = n_buckets_for_cluster()
+    # each bucket resolves as ONE in-memory frame holding its users' FULL
+    # event streams — size the bucket count by data volume (footer row
+    # count), not just CPUs, so a bucket stays ~1M rows at any scale
+    n_buckets = n_buckets_for_rows(_meta_rows(sf_dir, "events"))
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3397,7 +3432,20 @@ def q_events_pivot(sf_dir: str):
     stream."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
+    def _empty_partial() -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": pd.array([], dtype="int64"),
+            **{f"n_{t}": pd.array([], dtype="int64")
+               for t in PIVOT_EVENT_TYPES},
+            "value_sum": pd.array([], dtype="float64"),
+        })
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # typed empty frame: crosstab().reset_index() on zero rows
+            # loses the column names/dtypes, and a schema-less RefBundle
+            # makes downstream operators warn and re-infer
+            return _empty_partial()
         piv = pd.crosstab(df["user_id"], df["event_type"])
         for t in PIVOT_EVENT_TYPES:
             if t not in piv.columns:
@@ -3422,6 +3470,13 @@ def q_events_pivot(sf_dir: str):
     num_cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES] + ["value_sum"]
 
     def combine(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                **{f"n_{t}": pa.array([], pa.int64())
+                   for t in PIVOT_EVENT_TYPES},
+                "total_value": pa.array([], pa.float64()),
+            })
         g = df.groupby("user_id", sort=False, as_index=False)[num_cols].sum()
         g["total_value"] = duck_round(g.pop("value_sum"), 2)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -3867,7 +3922,11 @@ def q_events_funnel(sf_dir: str):
     + merge + filter); buckets emit per-stage partial counts and the
     final groupby sums O(stages) rows."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-    n_buckets = n_buckets_for_cluster()
+    # a bucket resolves its users' whole (funnel-stage) event streams as
+    # one frame — bucket count follows data volume, CPU count as floor
+    n_buckets = n_buckets_for_rows(_meta_rows(sf_dir, "events"))
+    stage_names = [" > ".join(FUNNEL_STAGES[: i + 1])
+                   for i in range(len(FUNNEL_STAGES))]
 
     def bucketize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -3880,7 +3939,7 @@ def q_events_funnel(sf_dir: str):
         b = pc.bit_wise_and(t["user_id"], n_buckets - 1)
         return t.append_column("bucket", pc.cast(b, pa.int64()))
 
-    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+    def funnel(df: pd.DataFrame) -> pa.Table:
         prev = None  # Series: user_id -> conversion time of previous stage
         counts = []
         for stage in FUNNEL_STAGES:
@@ -3891,18 +3950,27 @@ def q_events_funnel(sf_dir: str):
             cur = ev.groupby("user_id")["ts"].min()
             counts.append(len(cur))
             prev = cur
-        return pd.DataFrame(
-            {
-                "stage": [" > ".join(FUNNEL_STAGES[: i + 1])
-                          for i in range(len(FUNNEL_STAGES))],
-                "n_users": np.asarray(counts, dtype=np.int64),
-            }
-        )
+        # Arrow output: block type must match the zero-seed dataset the
+        # union below combines with (mixed block types fail the executor)
+        return pa.table({
+            "stage": pa.array(stage_names, pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    # constant zero-count seed rows: the oracle emits all three stages
+    # even when NO funnel-stage events exist (empty input -> no groups ->
+    # no UDF calls); the seed adds 0 to every sum, so populated corpora
+    # are unchanged
+    seed = rd.from_arrow(pa.table({
+        "stage": pa.array(stage_names, pa.string()),
+        "n_users": pa.array([0] * len(stage_names), pa.int64()),
+    }))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(funnel, batch_format="pandas")
+        .union(seed)
         .groupby("stage")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
@@ -4003,24 +4071,32 @@ def q_doc_topq_filter(sf_dir: str):
     bounded aggregate on the driver; (2) a broadcast-threshold stateless
     filter streams the corpus.  Output: per-source survivor stats."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
-    n_docs = ds.count()
-    k = -(-n_docs // TOPQ_K_FRAC)  # ceil
 
     # bucketed combine, not groupby().aggregate(): the distinct-score
     # domain reaches thousands of values, exactly the regime where Ray's
     # per-group reduce serializes (see stages/combine.py)
-    hist = (
-        _bucketed_combine(
-            ds.map_batches(
-                lambda df: df.groupby("n_chars", sort=False)
-                .size().rename("n").reset_index(),
-                batch_format="pandas", batch_size=PARTIAL_BATCH,
-            ),
-            ["n_chars"], {"n": ("n", "sum")},
-        )
-        .to_pandas()  # bounded: one row per DISTINCT score value
-        .sort_values("n_chars", ascending=False)
-    )
+    hist = _bucketed_combine(
+        ds.map_batches(
+            lambda df: df.groupby("n_chars", sort=False)
+            .size().rename("n").reset_index(),
+            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        ),
+        ["n_chars"], {"n": ("n", "sum")},
+    ).to_pandas()  # bounded: one row per DISTINCT score value
+    # total N comes from the histogram itself — no separate count() scan
+    # (an empty corpus yields a zero-COLUMN frame: check before sorting)
+    n_docs = 0 if hist.empty else int(hist["n"].sum())
+    if n_docs == 0:
+        # oracle yields zero rows on an empty corpus; emit the typed
+        # empty result instead of searchsorting an empty histogram
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_kept": pa.array([], pa.int64()),
+            "sum_chars": pa.array([], pa.int64()),
+            "min_score": pa.array([], pa.int64()),
+        }))
+    hist = hist.sort_values("n_chars", ascending=False)
+    k = -(-n_docs // TOPQ_K_FRAC)  # ceil
     cum = hist["n"].cumsum().to_numpy()
     boundary = int(hist["n_chars"].to_numpy()[np.searchsorted(cum, k)])
 
@@ -4183,7 +4259,15 @@ def q_span_boilerplate(sf_dir: str):
          "chars": ("chars", "sum")},
     )
 
-    n_buckets = n_buckets_for_cluster()
+    # the rebucket groups the DISTINCT (span, source) stream and resolves
+    # each bucket as one frame — size the bucket count from the estimated
+    # span volume (uncompressed text bytes / span width is an upper bound
+    # on emitted spans, hence on distinct ones), CPU count as floor
+    est_spans = _meta_col_bytes(sf_dir, "documents", "text")
+    if est_spans is not None:
+        # SPAN_W words per span; words average ~5 chars + separator
+        est_spans //= SPAN_W * 6
+    n_buckets = n_buckets_for_rows(est_spans)
     mask64 = np.uint64(n_buckets - 1)
 
     def rebucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -17,6 +17,7 @@ directory's existence means it is complete.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -139,23 +140,38 @@ def write_dataset(
     return path
 
 
+#: Ray's ``write_json`` data files are ``<write_uuid>_<task>_<block>.json``
+#: — the trailing ``_N_N`` pair is what separates them from hand-written
+#: sidecars like ``manifest.json`` / ``order.json``.
+_RAY_JSON_DATA = re.compile(r"_\d+_\d+\.json$")
+
+
 def read_dataset(path: str, columns: list[str] | None = None):
-    """Read a dataset directory, auto-detecting the backend (Lance /
+    """Read a leaf dataset directory, auto-detecting the backend (Lance /
     parquet / jsonl).  ``columns`` prunes at the read for the columnar
     backends; jsonl is row-oriented, so pruning happens right after parse
-    (still before anything wide enters the pipeline)."""
+    (still before anything wide enters the pipeline).
+
+    Detection scans the top level plus one level of ``key=value``
+    partition subdirectories.  A ``.json`` file counts as jsonl DATA only
+    when it is ``.jsonl`` or matches Ray ``write_json``'s
+    ``*_<task>_<block>.json`` naming — hand-written sidecars
+    (``manifest.json``, ``order.json``) never reroute the read.  Parquet
+    wins whenever parquet data files exist anywhere in the scan."""
     import ray.data as rd
 
     if HAVE_LANCE and os.path.exists(os.path.join(path, "_versions")):
         return rd.read_lance(path, columns=columns)
     if os.path.isdir(path):
-        names = os.listdir(path)
-        # parquet wins whenever parquet data files exist: checkpoint-style
-        # dirs carry .json SIDECARS (manifest.json, order.json) next to
-        # the data — presence of a .json file alone must not reroute the
-        # read away from the actual rows
+        names = list(os.listdir(path))
+        for n in list(names):
+            sub = os.path.join(path, n)
+            if "=" in n and os.path.isdir(sub):
+                names.extend(os.listdir(sub))
         has_parquet = any(n.endswith(".parquet") for n in names)
-        has_json = any(n.endswith((".json", ".jsonl")) for n in names)
+        has_json = any(
+            n.endswith(".jsonl") or _RAY_JSON_DATA.search(n) for n in names
+        )
         if has_json and not has_parquet:
             ds = rd.read_json(path)
             return ds.select_columns(columns) if columns else ds

@@ -50,6 +50,38 @@ def n_buckets_for_cluster() -> int:
     return n
 
 
+TARGET_ROWS_PER_BUCKET = 1 << 20
+"""Upper bound on rows a RAW-STREAM map_groups bucket may hold in memory.
+
+``bucketed_combine`` buckets are safe at any scale (their inputs are
+pre-reduced partials, so a bucket is a bounded fraction of the GROUP
+space), but operators that group the raw row stream — window functions,
+funnels, span-hotness — resolve each bucket as ONE in-memory pandas
+frame.  With a CPU-only bucket count that frame is O(N/CPUs) rows: fine
+at bench scale, worker-OOM at 100x on a fixed cluster.  Sizing the
+bucket count by estimated input rows caps every frame at ~1M rows
+(~10-100 MB for the narrow projections these operators carry) no matter
+how the data grows.
+"""
+
+
+def n_buckets_for_rows(n_rows: int | None) -> int:
+    """Bucket count sized by DATA VOLUME with the CPU floor kept.
+
+    Returns the next power of two >= max(n_buckets_for_cluster(),
+    ceil(n_rows / TARGET_ROWS_PER_BUCKET)).  ``n_rows`` may be an estimate
+    or an upper bound (parquet-footer row counts / byte sizes — never a
+    full scan); ``None`` falls back to the CPU-only policy.  Correctness
+    everywhere is bucket-count-invariant (tests/test_combine.py pins it),
+    so callers can feed any honest estimate."""
+    n = n_buckets_for_cluster()
+    if n_rows:
+        need = -(-int(n_rows) // TARGET_ROWS_PER_BUCKET)
+        while n < need:
+            n <<= 1
+    return n
+
+
 def bucketed_combine(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
                      n_buckets: int | None = None):
     """Finish a partial aggregation: group by ``keys``, apply ``agg_spec``.

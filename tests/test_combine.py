@@ -130,3 +130,24 @@ def test_bucketed_combine_keeps_null_key_group(ray_session):
     assert out.loc[out["k"].isna(), "total"].iloc[0] == 60
     assert out.loc[out["k"] == "a", "total"].iloc[0] == 3
     assert out.loc[out["k"] == "b", "total"].iloc[0] == 100
+
+
+def test_n_buckets_for_rows_scales_with_volume(ray_session):
+    from crawler_ray.stages.combine import (
+        TARGET_ROWS_PER_BUCKET,
+        n_buckets_for_rows,
+    )
+
+    floor = n_buckets_for_cluster()
+    # small / unknown inputs keep the CPU floor
+    assert n_buckets_for_rows(None) == floor
+    assert n_buckets_for_rows(0) == floor
+    assert n_buckets_for_rows(100) == floor
+    # large inputs grow the bucket count so max rows/bucket stays bounded:
+    # with CPUs held fixed, 10x the rows means >= 10x/2 the buckets
+    big = 400 * TARGET_ROWS_PER_BUCKET
+    n_big = n_buckets_for_rows(big)
+    assert n_big >= 400 and (n_big & (n_big - 1)) == 0
+    assert big / n_big <= TARGET_ROWS_PER_BUCKET
+    n_bigger = n_buckets_for_rows(big * 10)
+    assert n_bigger >= n_big * 8

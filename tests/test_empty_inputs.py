@@ -1,0 +1,61 @@
+"""Empty-input conformance: queries must match their oracles on ZERO-row
+tables too (the oracle contract is exact equality, and several operators
+have driver-side boundary computations — quantile boundaries, funnel
+stage seeds — that only an empty corpus exercises)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory, ray_session) -> str:
+    """An sf directory whose documents/events tables have the real schemas
+    but zero rows."""
+    root = tmp_path_factory.mktemp("sf_empty")
+    real = "/root/testdata/sf0.001"
+    for name in ("documents", "events"):
+        schema = pq.ParquetFile(os.path.join(real, f"{name}.parquet")).schema_arrow
+        pq.write_table(schema.empty_table(), os.path.join(root, f"{name}.parquet"))
+    return str(root)
+
+
+def test_funnel_emits_zero_stage_rows(empty_sf_dir):
+    from crawler_ray.pipelines.queries import FUNNEL_STAGES, q_events_funnel
+
+    rows = sorted(q_events_funnel(empty_sf_dir).take_all(), key=lambda r: r["stage"])
+    want = sorted(
+        " > ".join(FUNNEL_STAGES[: i + 1]) for i in range(len(FUNNEL_STAGES))
+    )
+    assert [r["stage"] for r in rows] == want
+    assert all(r["n_users"] == 0 for r in rows)
+
+
+def test_topq_filter_empty_corpus(empty_sf_dir):
+    from crawler_ray.pipelines.queries import q_doc_topq_filter
+
+    out = q_doc_topq_filter(empty_sf_dir)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"source", "n_kept", "sum_chars", "min_score"}
+
+
+def test_window_rank_empty(empty_sf_dir):
+    from crawler_ray.pipelines.queries import q_events_window_rank
+
+    assert q_events_window_rank(empty_sf_dir).count() == 0
+
+
+def test_pivot_empty(empty_sf_dir):
+    from crawler_ray.pipelines.queries import q_events_pivot
+
+    assert q_events_pivot(empty_sf_dir).count() == 0
+
+
+def test_span_boilerplate_empty(empty_sf_dir):
+    from crawler_ray.pipelines.queries import q_span_boilerplate
+
+    assert q_span_boilerplate(empty_sf_dir).count() == 0
