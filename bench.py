@@ -106,6 +106,9 @@ BENCH_QUERIES = [
     # exact jaccard join (~28 s at sf0.1, excluded for the same reason as
     # doc_jaccard_pairs itself)
     "events_funnel",
+    # fuzzy edit-distance self-join: distinct-first + length bands +
+    # segment (PassJoin) candidate filter instead of per-band all-pairs
+    "part_fuzzy_pairs",
 ]
 
 

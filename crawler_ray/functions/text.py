@@ -218,3 +218,62 @@ def edit_distance_batch(a, b) -> np.ndarray:
             ans[done] = cur[done, lb[done]]
         prev = cur
     return ans
+
+
+def edit_distance_within(a, b, dmax: int) -> np.ndarray:
+    """``min(levenshtein(a[i], b[i]), dmax + 1)`` per aligned pair,
+    vectorized across the pair axis with a THRESHOLD-BANDED DP (Ukkonen):
+    a cell (i, j) with ``|i - j| > dmax`` can only lie on paths costing
+    more than ``dmax``, so each DP row keeps just the ``2*dmax + 1``
+    diagonal offsets — O(max_len x (2*dmax + 1)) numpy steps instead of
+    O(max_len_a x max_len_b).  Exact for every pair whose distance is
+    <= dmax (the join's verification contract); larger distances saturate
+    at ``dmax + 1``.  Pairs with ``|len(a) - len(b)| > dmax`` short-circuit.
+    """
+    n = len(a)
+    INF = np.int64(dmax + 1)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    maxa, maxb = int(la.max()), int(lb.max())
+    A = (np.array(list(a), dtype=f"U{max(maxa, 1)}")
+         .view(np.uint32).reshape(n, max(maxa, 1)))
+    B = (np.array(list(b), dtype=f"U{max(maxb, 1)}")
+         .view(np.uint32).reshape(n, max(maxb, 1)))
+    w = 2 * dmax + 1
+    ans = np.full(n, INF, dtype=np.int64)
+    ans[la == 0] = np.minimum(lb, INF)[la == 0]
+    # prev[:, o + dmax] = D[i-1][i-1+o]; row 0: D[0][j] = j
+    prev = np.full((n, w), INF, dtype=np.int64)
+    for o in range(0, dmax + 1):
+        prev[:, o + dmax] = np.where(o <= lb, o, INF)
+    for i in range(1, maxa + 1):
+        cur = np.full((n, w), INF, dtype=np.int64)
+        ai = A[:, i - 1]
+        for oi in range(w):
+            o = oi - dmax
+            j = i + o
+            if j < 0 or j > maxb:
+                continue
+            if j == 0:
+                cur[:, oi] = np.where(i <= la, i, INF)
+                continue
+            # deletion: D[i-1][j] sits at offset o+1 of the previous row
+            best = (prev[:, oi + 1] + 1) if oi + 1 < w else np.full(n, INF)
+            # insertion: D[i][j-1] sits at offset o-1 of THIS row
+            if oi - 1 >= 0:
+                best = np.minimum(best, cur[:, oi - 1] + 1)
+            # substitution/match: D[i-1][j-1] sits at the same offset
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            best = np.minimum(best, prev[:, oi] + cost)
+            # cells outside either string are not part of any valid path
+            cur[:, oi] = np.where((i <= la) & (j <= lb), best, INF)
+        done = la == i
+        if done.any():
+            off = (lb - la + dmax)[done]
+            valid = (off >= 0) & (off < w)
+            idx = np.flatnonzero(done)
+            ans[idx[valid]] = cur[idx[valid], off[valid]]
+        prev = cur
+    return np.minimum(ans, INF)

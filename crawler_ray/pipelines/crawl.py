@@ -347,7 +347,18 @@ class CrawlEngine:
         frontier_blocks: int = 8,
         net_latency_sec: float = 0.0,
         record_history: bool = False,
-        fetch_backend: str = "synthetic",   # "synthetic" | "pooled"
+        fetch_backend: str = "synthetic",   # "synthetic" | "pooled" | "http"
+        http_transport=None,                # "http" backend: injectable
+                                            # transport (stages/http_fetch);
+                                            # None = real urllib opener
+        http_timeout: float = 30.0,         # "http" backend per-request
+                                            # timeout (reference default 30)
+        log_bus=None,                       # state/logbus.LogBus: live
+                                            # per-round log fan-out (the
+                                            # reference's NATS publisher,
+                                            # log_publisher.py:21-35);
+                                            # fire-and-forget, never on the
+                                            # hot path
         cancel_check=None,                  # () -> bool; polled between stages
         selection: str = "driver",          # "driver" | "distributed"
         seen_ttl: float | None = None,      # dedup window in seconds (ref: 24 h)
@@ -394,8 +405,13 @@ class CrawlEngine:
         self.frontier_blocks = frontier_blocks
         # "pooled" routes every fetch through a FetcherPool (bounded
         # acquisition, crash replacement, health checks) — the reference's
-        # browser-pool lifecycle behind the same batch contract
+        # browser-pool lifecycle behind the same batch contract; "http"
+        # fetches over real HTTP (stages/http_fetch.py — urllib opener per
+        # actor, or the injected transport for sandboxed conformance runs)
         self.fetch_backend = fetch_backend
+        self.http_transport = http_transport
+        self.http_timeout = http_timeout
+        self.log_bus = log_bus
         # Mid-round cooperative cancellation (reference T8: a cancel flag is
         # polled between steps/pages, redis_cache.py:254-357).  The check
         # runs at stage boundaries inside a round; on cancel the CURRENT
@@ -831,6 +847,26 @@ class CrawlEngine:
                     concurrency=self.fetch_concurrency,
                     num_cpus=1,
                 )
+            elif self.fetch_backend == "http":
+                from crawler_ray.stages.http_fetch import HttpFetcher
+
+                # real HTTP: client built once per actor; politeness
+                # controls identical to the synthetic path (inherited)
+                fetched = fetch_stage.map_batches(
+                    HttpFetcher,
+                    fn_constructor_kwargs={
+                        "transport": self.http_transport,
+                        "timeout": self.http_timeout,
+                        "requests_per_second": self.requests_per_second,
+                        "burst": 10,
+                        "global_limiter": self._global_limiter,
+                        "connections": self.fetch_connections,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    concurrency=self.fetch_concurrency,
+                    num_cpus=1,
+                )
             elif (self.requests_per_second is not None
                   or self._global_limiter is not None):
                 # politeness pacing needs per-host wall-clock state -> actor pool
@@ -1053,6 +1089,12 @@ class CrawlEngine:
                     "wall_sec": round(time.monotonic() - t0, 3),
                 }
             )
+            if self.log_bus is not None:
+                # live fan-out (reference log_publisher.py): fire-and-forget
+                # — a dashboard tails "rounds"/"dlq" while the crawl runs
+                self.log_bus.publish("rounds", metrics[-1])
+                if round_dlq:
+                    self.log_bus.publish("dlq", *round_dlq)
             if self.record_history:
                 # conformance mode (small webs by definition): the driver
                 # needs the hashes for CrawlResult.seen equality checks
@@ -1085,6 +1127,17 @@ class CrawlEngine:
             # empty Dataset with the pages schema keeps downstream dedup /
             # writes total instead of crashing on None
             pages = rd.from_arrow(_empty_pages_table())
+        if self.log_bus is not None:
+            # final flush is SYNC so a consumer that waits for run_complete
+            # is guaranteed to observe every earlier fire-and-forget publish
+            # (one actor executes publishes in order)
+            self.log_bus.publish_sync("run", {
+                "event": "run_complete",
+                "rounds": len(metrics),
+                "pages_ok": sum(m["pages_ok"] for m in metrics),
+                "failed": sum(m["failed"] for m in metrics),
+                "cancelled": self.cancelled,
+            })
         return CrawlResult(
             pages=pages,
             order=order,

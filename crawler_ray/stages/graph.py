@@ -204,3 +204,117 @@ def attach_cluster_sizes(comp: "rd.Dataset", n_buckets: int = 64) -> "rd.Dataset
         .groupby("cbucket")
         .map_groups(_sizes, batch_format="pandas")
     )
+
+
+def triangle_count(edges: "rd.Dataset", a: str = "a", b: str = "b") -> tuple[int, int]:
+    """Exact triangle count of an undirected graph via DEGREE-ORIENTED
+    two-join closure (returns ``(n_triangles, n_edges)``).
+
+    ``edges`` holds each undirected edge once (any endpoint order; no
+    self-loops).  Every edge is directed from its lower ``(degree, id)``
+    endpoint to the higher one, wedges are generated only between a
+    vertex's OUT-edges, and a wedge ``(v, w)`` (ordered ``rank(v) <
+    rank(w)``) closes iff the oriented edge ``v -> w`` exists.  Each
+    triangle is counted exactly once (at its minimum-rank vertex), and the
+    orientation bounds every out-degree by O(sqrt(m)) amortized — total
+    wedge volume O(m^1.5), the optimal bound — where the UNORIENTED wedge
+    join explodes on hot vertices (a near-dup hub of degree k generates
+    O(k^2) wedges; oriented, a max-rank hub generates zero).
+
+    All steps are partitioned Ray Data ops: a bucketed degree combine, two
+    attach joins, the wedge self-join (per-bucket work bounded by the
+    oriented out-degree cap), and a composite-key semi-join.  The driver
+    holds only the two output scalars.
+    """
+    import pyarrow.compute as pc
+
+    from crawler_ray.stages.combine import PARTIAL_BATCH, bucketed_combine
+    from crawler_ray.stages.join import attach_unique
+
+    edges = edges.select_columns([a, b]).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0, 0
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        v = pa.concat_arrays(
+            [t[a].combine_chunks().cast(pa.int64()),
+             t[b].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"v": v})
+
+    deg = bucketed_combine(
+        edges.map_batches(endpoints, batch_format="pyarrow").map_batches(
+            lambda df: df.groupby("v", sort=False)
+            .size().rename("deg").reset_index(),
+            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        ),
+        ["v"], {"deg": ("deg", "sum")},
+    ).map_batches(
+        lambda t: t.select(["v", "deg"]), batch_format="pyarrow"
+    )
+
+    with_da = attach_unique(
+        edges,
+        deg.map_batches(lambda t: t.rename_columns(["v", "deg_a"]),
+                        batch_format="pyarrow"),
+        a, "v", how="inner",
+    )
+    with_deg = attach_unique(
+        with_da,
+        deg.map_batches(lambda t: t.rename_columns(["v", "deg_b"]),
+                        batch_format="pyarrow"),
+        b, "v", how="inner",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        av = t[a].combine_chunks().cast(pa.int64())
+        bv = t[b].combine_chunks().cast(pa.int64())
+        da, db = t["deg_a"], t["deg_b"]
+        a_first = pc.or_(
+            pc.less(da, db),
+            pc.and_(pc.equal(da, db), pc.less(av, bv)),
+        )
+        return pa.table({
+            "src": pc.if_else(a_first, av, bv),
+            "dst": pc.if_else(a_first, bv, av),
+            "dst_deg": pc.cast(pc.if_else(a_first, db, da), pa.int64()),
+        })
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    left = oriented.map_batches(
+        lambda t: t.rename_columns(["src", "v", "v_deg"]),
+        batch_format="pyarrow",
+    )
+    right = oriented.map_batches(
+        lambda t: t.rename_columns(["src2", "w", "w_deg"]),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(left, right, "src", "src2")
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        # wedge (v, w) with rank(v) < rank(w): the closing edge, if any,
+        # is oriented exactly v -> w
+        lt = pc.or_(
+            pc.less(t["v_deg"], t["w_deg"]),
+            pc.and_(pc.equal(t["v_deg"], t["w_deg"]), pc.less(t["v"], t["w"])),
+        )
+        t = t.filter(lt)
+        k = pc.binary_join_element_wise(
+            pc.cast(t["v"], pa.string()), pc.cast(t["w"], pa.string()), "|"
+        )
+        return pa.table({"wkey": k})
+
+    wk = wedges.map_batches(keep_ordered, batch_format="pyarrow")
+    ek = oriented.map_batches(
+        lambda t: pa.table({
+            "ekey": pc.binary_join_element_wise(
+                pc.cast(t["src"], pa.string()),
+                pc.cast(t["dst"], pa.string()), "|",
+            )
+        }),
+        batch_format="pyarrow",
+    )
+    n_tri = hash_join(wk, ek, "wkey", "ekey").count()
+    return n_tri, n_edges

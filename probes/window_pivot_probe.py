@@ -128,6 +128,43 @@ def main() -> None:
         "out_rows": n_out,
     }
 
+    # ---- bucket bound (round-5) ----------------------------------------
+    # the raw-stream map_groups operators resolve each BUCKET as one
+    # in-memory frame; with CPUs held fixed and rows grown 10x the policy
+    # must grow the bucket count so max per-group rows stays bounded
+    import pyarrow.compute as pc
+
+    from crawler_ray.pipelines.queries import _meta_rows
+    from crawler_ray.stages.combine import (
+        TARGET_ROWS_PER_BUCKET,
+        n_buckets_for_rows,
+    )
+
+    nb = n_buckets_for_rows(_meta_rows(path, "events"))
+
+    def bcount(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["user_id"], nb - 1)
+        g = pa.table({"bucket": b}).group_by("bucket").aggregate(
+            [("bucket", "count")]
+        )
+        return g.rename_columns(["bucket", "n"])
+
+    bc = (
+        rd.read_parquet(f"{path}/events.parquet", columns=["user_id"])
+        .map_batches(bcount, batch_format="pyarrow")
+        .to_pandas()  # bounded: <= nb rows per block partial
+    )
+    max_group_rows = int(bc.groupby("bucket")["n"].sum().max())
+    # exact bound is ceil(rows/buckets) x hash skew; 2x slack covers skew
+    assert max_group_rows <= 2 * TARGET_ROWS_PER_BUCKET, (
+        max_group_rows, nb, TARGET_ROWS_PER_BUCKET,
+    )
+    out["bucket_bound"] = {
+        "n_buckets": nb,
+        "max_group_rows": max_group_rows,
+        "target_rows_per_bucket": TARGET_ROWS_PER_BUCKET,
+    }
+
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)

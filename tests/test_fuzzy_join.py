@@ -106,3 +106,48 @@ def test_part_fuzzy_pairs_oracle_shape(ray_session, sf_dir):
     assert not df.duplicated(["name_a", "name_b"]).any()
     got = edit_distance_batch(df["name_a"].tolist(), df["name_b"].tolist())
     assert (got == df["dist"].to_numpy()).all()
+
+
+def test_edit_distance_within_matches_saturated_reference():
+    from crawler_ray.functions.text import edit_distance_within
+
+    rng = random.Random(23)
+    pairs = [
+        (
+            "".join(rng.choices("abcd e", k=rng.randint(0, 14))),
+            "".join(rng.choices("abcd e", k=rng.randint(0, 14))),
+        )
+        for _ in range(800)
+    ]
+    pairs += [("", ""), ("abc", ""), ("", "xyz"), ("same", "same"),
+              ("kitten", "sitting"), ("a" * 30, "a" * 29 + "b"),
+              ("abcdef", "fedcba")]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    exp_full = np.array([ref_levenshtein(*p) for p in pairs])
+    for d in (0, 1, 2, 3, 5):
+        got = edit_distance_within(a, b, d)
+        assert (got == np.minimum(exp_full, d + 1)).all(), d
+
+
+def test_charcount_lower_bound_is_valid():
+    # the band_pairs prefilter relies on ed >= L1(char counts) / 2 —
+    # check the bound against the reference DP on random mutations
+    rng = random.Random(9)
+    for _ in range(300):
+        s = "".join(rng.choices("abcdef ", k=rng.randint(1, 20)))
+        t = list(s)
+        for _ in range(rng.randint(0, 4)):
+            op = rng.randrange(3)
+            if op == 0 and t:
+                t[rng.randrange(len(t))] = rng.choice("abcdef ")
+            elif op == 1:
+                t.insert(rng.randrange(len(t) + 1), rng.choice("abcdef "))
+            elif t:
+                del t[rng.randrange(len(t))]
+        t = "".join(t)
+        from collections import Counter
+
+        ca, cb = Counter(s), Counter(t)
+        l1 = sum(abs(ca[c] - cb[c]) for c in set(ca) | set(cb))
+        assert ref_levenshtein(s, t) >= -(-l1 // 2)

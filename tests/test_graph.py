@@ -115,3 +115,73 @@ def test_attach_cluster_sizes_counts_exactly(ray_session):
     for r in rows:
         assert truth[r["node"]] == r["cluster_id"]
         assert r["cluster_size"] == want_sizes[r["cluster_id"]]
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tri_truth(pairs) -> int:
+    """Brute-force triangle count over an explicit edge list."""
+    import itertools
+
+    adj: dict[int, set[int]] = {}
+    for x, y in pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    n = 0
+    for x, y in pairs:
+        n += len(adj[x] & adj[y])
+    return n // 3  # each triangle counted once per edge
+
+
+def test_triangle_count_clique(ray_session):
+    from math import comb
+
+    from crawler_ray.stages.graph import triangle_count
+
+    k = 8
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    n_tri, n_edges = triangle_count(edges, "a", "b")
+    assert n_edges == comb(k, 2)
+    assert n_tri == comb(k, 3)
+
+
+def test_triangle_count_star_has_none(ray_session):
+    # hot-vertex case the orientation exists for: a degree-k hub has zero
+    # triangles and, oriented, generates zero wedges at the hub
+    from crawler_ray.stages.graph import triangle_count
+
+    leaves = list(range(1, 400))
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([0] * len(leaves), pa.int64()),
+        "b": pa.array(leaves, pa.int64()),
+    }))
+    n_tri, n_edges = triangle_count(edges, "a", "b")
+    assert (n_tri, n_edges) == (0, len(leaves))
+
+
+def test_triangle_count_random_matches_bruteforce(ray_session):
+    import random
+
+    from crawler_ray.stages.graph import triangle_count
+
+    rng = random.Random(11)
+    pairs = set()
+    while len(pairs) < 300:
+        x, y = rng.randrange(60), rng.randrange(60)
+        if x != y:
+            pairs.add((min(x, y), max(x, y)))
+    pairs = sorted(pairs)
+    # endpoint order must not matter: flip half the edges
+    flipped = [(y, x) if i % 2 else (x, y) for i, (x, y) in enumerate(pairs)]
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in flipped], pa.int64()),
+        "b": pa.array([p[1] for p in flipped], pa.int64()),
+    })).repartition(4)
+    n_tri, n_edges = triangle_count(edges, "a", "b")
+    assert n_edges == len(pairs)
+    assert n_tri == _tri_truth(pairs)

@@ -1,0 +1,192 @@
+"""HTTP fetch backend (stages/http_fetch.py): request semantics vs the
+reference HTTPExecutor (http_executor.py:68-231) via the transport seam —
+method/header/cookie/param/body passthrough, per-request timeout, redirect
+following (incl. the 301/302/303 method demotion), status + body +
+Retry-After capture, and error taxonomy.  The conformance test runs the
+FULL crawl engine through the HTTP backend against a miniweb transport."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from crawler_ray.stages.http_fetch import HttpFetcher, MiniWebTransport
+
+
+def _batch(urls, hosts=None):
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts or ["h"] * len(urls), pa.string()),
+        "retry_count": pa.array([0] * len(urls), pa.int32()),
+    })
+
+
+class RecordingTransport:
+    """Scripted transport: records every request, replays a response list."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.requests: list[dict] = []
+
+    def __call__(self, request):
+        self.requests.append(dict(request))
+        r = self.responses[min(len(self.requests) - 1, len(self.responses) - 1)]
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+def test_request_passthrough():
+    tr = RecordingTransport([(200, "ok", {})])
+    f = HttpFetcher(
+        transport=tr, timeout=7.5, http_method="post",
+        headers={"X-Job": "42"}, params={"q": "news", "page": "2"},
+        data={"a": "1"}, cookies={"sid": "abc", "lang": "id"},
+    )
+    out = f(_batch(["http://ex.test/api?v=1"]))
+    assert out["status"].to_pylist() == [200]
+    assert out["html"].to_pylist() == ["ok"]
+    req = tr.requests[0]
+    assert req["method"] == "POST"
+    assert req["timeout"] == 7.5
+    assert req["url"] == "http://ex.test/api?v=1&q=news&page=2"
+    assert req["headers"]["X-Job"] == "42"
+    assert req["headers"]["Cookie"] == "sid=abc; lang=id"
+    assert req["body"] == b"a=1"
+    assert req["headers"]["Content-Type"] == "application/x-www-form-urlencoded"
+
+
+def test_json_body():
+    tr = RecordingTransport([(200, "ok", {})])
+    f = HttpFetcher(transport=tr, http_method="PUT", json_body={"k": [1, 2]})
+    f(_batch(["http://ex.test/x"]))
+    req = tr.requests[0]
+    assert req["body"] == b'{"k": [1, 2]}'
+    assert req["headers"]["Content-Type"] == "application/json"
+
+
+def test_redirect_follow_relative_and_capture_final_url():
+    tr = RecordingTransport([
+        (302, "", {"Location": "/moved"}),
+        (301, "", {"Location": "http://other.test/final"}),
+        (200, "done", {}),
+    ])
+    f = HttpFetcher(transport=tr, extended=True)
+    out = f(_batch(["http://ex.test/a/b"]))
+    assert out["status"].to_pylist() == [200]
+    assert out["html"].to_pylist() == ["done"]
+    assert out["final_url"].to_pylist() == ["http://other.test/final"]
+    assert [r["url"] for r in tr.requests] == [
+        "http://ex.test/a/b",
+        "http://ex.test/moved",
+        "http://other.test/final",
+    ]
+
+
+def test_redirect_303_demotes_post_to_get_307_preserves():
+    tr = RecordingTransport([
+        (303, "", {"Location": "/see-other"}),
+        (200, "ok", {}),
+    ])
+    f = HttpFetcher(transport=tr, http_method="POST", data="payload")
+    f(_batch(["http://ex.test/submit"]))
+    assert tr.requests[0]["method"] == "POST"
+    assert tr.requests[0]["body"] == b"payload"
+    assert tr.requests[1]["method"] == "GET"
+    assert tr.requests[1]["body"] is None
+
+    tr2 = RecordingTransport([
+        (307, "", {"Location": "/temp"}),
+        (200, "ok", {}),
+    ])
+    f2 = HttpFetcher(transport=tr2, http_method="POST", data="payload")
+    f2(_batch(["http://ex.test/submit"]))
+    assert tr2.requests[1]["method"] == "POST"
+    assert tr2.requests[1]["body"] == b"payload"
+
+
+def test_redirect_loop_capped():
+    tr = RecordingTransport([(302, "", {"Location": "/again"})])
+    f = HttpFetcher(transport=tr, extended=True)
+    out = f(_batch(["http://ex.test/loop"]))
+    assert out["status"].to_pylist() == [0]
+    assert out["fetch_error"].to_pylist() == ["too many redirects"]
+    assert len(tr.requests) == 21  # initial + MAX_REDIRECTS hops
+
+
+def test_no_follow_when_disabled():
+    tr = RecordingTransport([(302, "moved", {"Location": "/x"})])
+    f = HttpFetcher(transport=tr, follow_redirects=False)
+    out = f(_batch(["http://ex.test/a"]))
+    assert out["status"].to_pylist() == [302]
+    assert len(tr.requests) == 1
+
+
+def test_retry_after_capture_seconds_and_invalid():
+    tr = RecordingTransport([
+        (429, "slow down", {"Retry-After": "120"}),
+        (503, "maintenance", {"retry-after": "not-a-date"}),
+        (200, "fine", {}),
+    ])
+    f = HttpFetcher(transport=tr, extended=True)
+    out = f(_batch(["http://a.test/1", "http://a.test/2", "http://a.test/3"]))
+    assert out["status"].to_pylist() == [429, 503, 200]
+    assert out["retry_after_sec"].to_pylist() == [120, -1, -1]
+    assert out["html"].to_pylist() == ["slow down", "maintenance", "fine"]
+
+
+def test_timeout_and_request_error_taxonomy():
+    tr = RecordingTransport([
+        TimeoutError("read timed out"),
+        OSError("connection refused"),
+    ])
+    f = HttpFetcher(transport=tr, extended=True)
+    out = f(_batch(["http://t.test/1", "http://t.test/2"]))
+    assert out["status"].to_pylist() == [0, 0]
+    errs = out["fetch_error"].to_pylist()
+    assert errs[0].startswith("timeout:")
+    assert errs[1].startswith("request error:")
+
+
+def test_body_charset_decode():
+    raw = "ünïcode".encode("latin-1")
+    tr = RecordingTransport([
+        (200, raw, {"Content-Type": "text/html; charset=latin-1"}),
+    ])
+    f = HttpFetcher(transport=tr)
+    out = f(_batch(["http://c.test/x"]))
+    assert out["html"].to_pylist() == ["ünïcode"]
+
+
+def test_extras_align_under_connection_waves():
+    # the politeness engine (waves) must not desync the extended columns
+    tr = RecordingTransport([(200, "ok", {"Retry-After": "5"})])
+    f = HttpFetcher(transport=tr, connections=3, extended=True)
+    urls = [f"http://w.test/{i}" for i in range(8)]
+    out = f(_batch(urls, hosts=["w"] * 8))
+    assert out["retry_after_sec"].to_pylist() == [5] * 8
+    assert out["final_url"].to_pylist() == urls
+
+
+# ---------------------------------------------------------------- conformance
+
+
+def test_http_backend_matches_golden(ray_session):
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.pipelines.golden import golden_crawl
+    from crawler_ray.sources.miniweb import MiniWeb
+
+    web = MiniWeb(n_docs=36, n_hosts=3, dead_link_every=2)
+    golden = golden_crawl(web, budget_per_host=4, max_rounds=30)
+    res = CrawlEngine(
+        web, budget_per_host=4, max_rounds=30, seen_shards=2,
+        record_history=True, fetch_backend="http",
+        http_transport=MiniWebTransport(web),
+    ).run()
+    assert [(r, h) for r, h, _ in golden.order] == [
+        (r, h) for r, h, _ in res.order
+    ]
+    assert golden.seen == res.seen
+    g = {(d["url_hash"], d["status"], d["round"]) for d in golden.dlq}
+    r = {(d["url_hash"], d["status"], d["round"]) for d in res.dlq_rows}
+    assert g == r and len(g) > 0
