@@ -1130,14 +1130,18 @@ class CrawlEngine:
         if self.log_bus is not None:
             # final flush is SYNC so a consumer that waits for run_complete
             # is guaranteed to observe every earlier fire-and-forget publish
-            # (one actor executes publishes in order)
-            self.log_bus.publish_sync("run", {
-                "event": "run_complete",
-                "rounds": len(metrics),
-                "pages_ok": sum(m["pages_ok"] for m in metrics),
-                "failed": sum(m["failed"] for m in metrics),
-                "cancelled": self.cancelled,
-            })
+            # (one actor executes publishes in order).  Best-effort: a bus
+            # that died mid-run must not discard the finished CrawlResult
+            try:
+                self.log_bus.publish_sync("run", {
+                    "event": "run_complete",
+                    "rounds": len(metrics),
+                    "pages_ok": sum(m["pages_ok"] for m in metrics),
+                    "failed": sum(m["failed"] for m in metrics),
+                    "cancelled": self.cancelled,
+                })
+            except Exception:
+                pass  # logging is observability, never the run's fate
         return CrawlResult(
             pages=pages,
             order=order,

@@ -3468,20 +3468,25 @@ def q_events_pivot(sf_dir: str):
     stream."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    def _empty_partial() -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": pd.array([], dtype="int64"),
-            **{f"n_{t}": pd.array([], dtype="int64")
-               for t in PIVOT_EVENT_TYPES},
-            "value_sum": pd.array([], dtype="float64"),
-        })
+    # ONE schema declaration for every empty-frame site in this query
+    # (partial's empty batch, the _pin_empty tail): a pivot column added
+    # here propagates everywhere
+    out_schema = {
+        "user_id": pa.int64(),
+        **{f"n_{t}": pa.int64() for t in PIVOT_EVENT_TYPES},
+        "total_value": pa.float64(),
+    }
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             # typed empty frame: crosstab().reset_index() on zero rows
             # loses the column names/dtypes, and a schema-less RefBundle
             # makes downstream operators warn and re-infer
-            return _empty_partial()
+            return pd.DataFrame({
+                **{k: pd.array([], dtype="int64")
+                   for k in out_schema if k != "total_value"},
+                "value_sum": pd.array([], dtype="float64"),
+            })
         piv = pd.crosstab(df["user_id"], df["event_type"])
         for t in PIVOT_EVENT_TYPES:
             if t not in piv.columns:
@@ -3506,13 +3511,8 @@ def q_events_pivot(sf_dir: str):
     num_cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES] + ["value_sum"]
 
     def combine(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
-            return pa.table({
-                "user_id": pa.array([], pa.int64()),
-                **{f"n_{t}": pa.array([], pa.int64())
-                   for t in PIVOT_EVENT_TYPES},
-                "total_value": pa.array([], pa.float64()),
-            })
+        # no empty branch: map_groups never calls the UDF for an empty
+        # partition (the _pin_empty tail types those blocks)
         g = df.groupby("user_id", sort=False, as_index=False)[num_cols].sum()
         g["total_value"] = duck_round(g.pop("value_sum"), 2)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -3522,9 +3522,7 @@ def q_events_pivot(sf_dir: str):
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas"),
-        {"user_id": pa.int64(),
-         **{f"n_{t}": pa.int64() for t in PIVOT_EVENT_TYPES},
-         "total_value": pa.float64()},
+        out_schema,
     )
 
 

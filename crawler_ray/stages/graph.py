@@ -252,7 +252,8 @@ def triangle_count(edges: "rd.Dataset", a: str = "a", b: str = "b") -> tuple[int
         ["v"], {"deg": ("deg", "sum")},
     ).map_batches(
         lambda t: t.select(["v", "deg"]), batch_format="pyarrow"
-    )
+    ).materialize()  # consumed by BOTH attach joins — never re-run the
+    # endpoint scan + combine shuffle through lineage
 
     with_da = attach_unique(
         edges,

@@ -170,6 +170,7 @@ class _HttpClient:
 
     # -- full request: redirects + capture ------------------------------
     def fetch(self, url: str, retry_count: int = 0) -> tuple[int, str]:
+        import http.client
         import socket
         import urllib.error
 
@@ -196,8 +197,14 @@ class _HttpClient:
                     self.extras.append((final_url, -1, "too many redirects"))
                     return 0, ""
                 final_url = urljoin(final_url, loc)
-                if status in (301, 302, 303) and method != "GET":
-                    method, body = "GET", None  # httpx demotion semantics
+                # httpx demotion semantics (its _redirect_method, which the
+                # reference client inherits): 303 turns everything except
+                # HEAD into GET; 301/302 demote only POST; 307/308 always
+                # preserve method + body
+                if status == 303 and method != "HEAD":
+                    method, body = "GET", None
+                elif status in (301, 302) and method == "POST":
+                    method, body = "GET", None
         except (TimeoutError, socket.timeout) as e:
             self.extras.append((final_url, -1, f"timeout: {e}"))
             return 0, ""
@@ -207,8 +214,14 @@ class _HttpClient:
             else:
                 self.extras.append((final_url, -1, f"request error: {e.reason}"))
             return 0, ""
-        except OSError as e:
-            self.extras.append((final_url, -1, f"request error: {e}"))
+        except (OSError, http.client.HTTPException, ValueError) as e:
+            # HTTPException (BadStatusLine/IncompleteRead from a malformed
+            # server response) and ValueError (Request on a non-http href
+            # like mailto:/javascript:) are per-ROW failures: record a
+            # status-0 error row, never crash the whole fetch task
+            self.extras.append(
+                (final_url, -1, f"request error: {type(e).__name__}: {e}")
+            )
             return 0, ""
 
         ra = None

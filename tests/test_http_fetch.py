@@ -190,3 +190,42 @@ def test_http_backend_matches_golden(ray_session):
     g = {(d["url_hash"], d["status"], d["round"]) for d in golden.dlq}
     r = {(d["url_hash"], d["status"], d["round"]) for d in res.dlq_rows}
     assert g == r and len(g) > 0
+
+
+def test_redirect_301_preserves_non_post_methods():
+    # httpx _redirect_method: 301/302 demote only POST; PUT keeps its body
+    tr = RecordingTransport([
+        (301, "", {"Location": "/perm"}),
+        (200, "ok", {}),
+    ])
+    f = HttpFetcher(transport=tr, http_method="PUT", data="payload")
+    f(_batch(["http://ex.test/doc"]))
+    assert tr.requests[1]["method"] == "PUT"
+    assert tr.requests[1]["body"] == b"payload"
+
+
+def test_redirect_303_preserves_head():
+    tr = RecordingTransport([
+        (303, "", {"Location": "/other"}),
+        (200, "", {}),
+    ])
+    f = HttpFetcher(transport=tr, http_method="HEAD")
+    f(_batch(["http://ex.test/h"]))
+    assert tr.requests[1]["method"] == "HEAD"
+
+
+def test_malformed_response_and_bad_url_are_per_row_errors():
+    import http.client
+
+    tr = RecordingTransport([
+        http.client.BadStatusLine("garbage"),
+        ValueError("unknown url type: 'mailto:x@y'"),
+        (200, "fine", {}),
+    ])
+    f = HttpFetcher(transport=tr, extended=True)
+    out = f(_batch(["http://m.test/1", "mailto:x@y", "http://m.test/3"]))
+    assert out["status"].to_pylist() == [0, 0, 200]
+    errs = out["fetch_error"].to_pylist()
+    assert "BadStatusLine" in errs[0]
+    assert "ValueError" in errs[1]
+    assert errs[2] == ""
