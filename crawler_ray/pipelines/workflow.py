@@ -172,9 +172,11 @@ def validate_workflow(steps: list[Step]) -> list[Step]:
 
 
 class WorkflowRunner:
-    """Executes a validated workflow against a fetch backend (the mini-web
-    in this sandbox; anything satisfying ``fetch(url, retry_count) ->
-    (status, html)``)."""
+    """Executes a validated workflow against a fetch backend: anything
+    satisfying ``fetch(url, retry_count) -> (status, html)`` — the
+    mini-web in this sandbox, or ``stages/http_fetch.py::HttpClient`` for
+    real HTTP (tests/test_http_fetch.py runs this workflow engine through
+    HttpClient against a transport-mocked web end-to-end)."""
 
     def __init__(self, web, fetch_batch_size: int = SCRAPE_FETCH_BATCH,
                  max_pages_default: int = 100,

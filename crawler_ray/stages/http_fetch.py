@@ -78,12 +78,22 @@ def _decode_body(raw, headers: dict) -> str:
         return raw.decode("utf-8", errors="replace")
 
 
-class _HttpClient:
-    """One reused client per actor: urllib opener + cookie jar, or the
-    injected transport.  ``fetch`` matches the miniweb protocol so the
-    inherited politeness engine drives it untouched; per-request extras
-    (final URL, Retry-After seconds, error text) accumulate in
-    ``self.extras`` aligned with the calls of the current batch."""
+class HttpClient:
+    """One reused client per actor/worker: urllib opener + cookie jar, or
+    the injected transport.  ``fetch(url, retry_count) -> (status, text)``
+    matches the engine-wide fetch-backend protocol, so this class slots in
+    anywhere a miniweb does — the inherited politeness engine in
+    :class:`HttpFetcher` drives it untouched, and
+    ``WorkflowEngine(web=HttpClient(...))`` runs declarative workflows
+    over real HTTP.  Per-request extras (final URL, Retry-After seconds,
+    error text) accumulate in ``self.extras`` aligned with the calls of
+    the current batch.
+
+    Instances PICKLE cleanly into Ray tasks: the urllib opener and cookie
+    jar are process-local live objects, so they are dropped on pickling
+    and rebuilt lazily on first use in the receiving worker (each worker
+    then owns its cookie session, the actor-pool analogue of the
+    reference's one client per asyncio worker)."""
 
     def __init__(
         self,
@@ -127,7 +137,21 @@ class _HttpClient:
             self.headers.setdefault("Content-Type", "application/json")
 
         self._opener = None
-        if transport is None:
+        self._jar = None
+        self.extras: list[tuple[str, int, str]] = []  # (final_url, retry_after, error)
+
+    def __getstate__(self):
+        # opener/jar are process-local (sockets, live handlers): drop them
+        # so the instance ships into Ray tasks; the receiving worker
+        # rebuilds its own on first request
+        d = dict(self.__dict__)
+        d["_opener"] = None
+        d["_jar"] = None
+        d["extras"] = []
+        return d
+
+    def _ensure_opener(self):
+        if self._opener is None:
             import urllib.request
             from http.cookiejar import CookieJar
 
@@ -140,7 +164,7 @@ class _HttpClient:
             self._opener = urllib.request.build_opener(
                 _NoRedirect(), urllib.request.HTTPCookieProcessor(self._jar)
             )
-        self.extras: list[tuple[str, int, str]] = []  # (final_url, retry_after, error)
+        return self._opener
 
     # -- single hop ----------------------------------------------------
     def _hop(self, url: str, method: str, body: bytes | None,
@@ -158,7 +182,7 @@ class _HttpClient:
             url, data=body, headers=headers, method=method
         )
         try:
-            with self._opener.open(req, timeout=self.timeout) as r:
+            with self._ensure_opener().open(req, timeout=self.timeout) as r:
                 return r.status, r.read(), dict(r.headers)
         except urllib.error.HTTPError as e:  # non-2xx IS a response
             raw = b""
@@ -264,7 +288,7 @@ class HttpFetcher(SyntheticFetcher):
         connections: int = 1,
         extended: bool = False,
     ) -> None:
-        client = _HttpClient(
+        client = HttpClient(
             transport=transport,
             timeout=timeout,
             http_method=http_method,

@@ -229,3 +229,54 @@ def test_malformed_response_and_bad_url_are_per_row_errors():
     assert "BadStatusLine" in errs[0]
     assert "ValueError" in errs[1]
     assert errs[2] == ""
+
+
+def test_workflow_runs_over_http_client(ray_session):
+    # HttpClient satisfies the engine-wide fetch-backend protocol, so a
+    # declarative workflow runs over (transport-mocked) HTTP end-to-end;
+    # results must equal the same workflow run directly on the miniweb
+    from crawler_ray.pipelines.workflow import WorkflowRunner
+    from crawler_ray.sources.miniweb import MiniWeb
+    from crawler_ray.stages.http_fetch import HttpClient
+
+    web = MiniWeb(n_docs=20, n_hosts=2)
+    seed = "https://putusan.example.id/list?page=1"
+    steps = [
+        {
+            "name": "daftar",
+            "type": "crawl",
+            "config": {"seed_url": seed,
+                       "pagination": {"enabled": True, "max_pages": 2}},
+            "selectors": {"urls": {"selector": "a::attr(href)",
+                                   "multiple": True}},
+        },
+        {
+            "name": "detail",
+            "type": "scrape",
+            "input_from": "daftar.urls",
+            "selectors": {"title": "title"},
+        },
+    ]
+    direct = WorkflowRunner(web).run(steps)
+    http = WorkflowRunner(
+        HttpClient(transport=MiniWebTransport(web))
+    ).run(steps)
+    d_items = sorted(i["_url"] for i in direct["steps"]["detail"]["items"])
+    h_items = sorted(i["_url"] for i in http["steps"]["detail"]["items"])
+    assert d_items == h_items and len(h_items) > 0
+    assert (direct["steps"]["detail"]["success_count"]
+            == http["steps"]["detail"]["success_count"])
+
+
+def test_http_client_pickles_without_opener():
+    import pickle
+
+    from crawler_ray.stages.http_fetch import HttpClient
+
+    c = HttpClient(timeout=5.0, headers={"X": "1"})
+    c._ensure_opener()
+    c.extras.append(("u", -1, ""))
+    c2 = pickle.loads(pickle.dumps(c))
+    assert c2._opener is None and c2._jar is None and c2.extras == []
+    assert c2.timeout == 5.0 and c2.headers["X"] == "1"
+    assert c2._ensure_opener() is not None  # rebuilds lazily
