@@ -46,9 +46,10 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_source_stats",
     "doc_quality",
-    # exact all-pairs jaccard (doc_jaccard_pairs) is intentionally absent:
-    # the inverted-index self-join is quadratic in hot shingles (323s at
-    # sf0.1) — doc_minhash_pairs is the scale path for the same answer (~5s)
+    # exact jaccard (doc_jaccard_pairs) is intentionally absent: even with
+    # the Vernica prefix filter it pays the full prefix-posting self-merge
+    # (measured 39 s at sf0.1, r5; was 323 s pre-prefix-filter) —
+    # doc_minhash_pairs is the scale path for the same answer (~3 s)
     "doc_minhash_pairs",
     # near-dup pairs resolved into duplicate CLUSTERS (connected components
     # via one-task union-find below 2M edges, iterative hash-min label

@@ -4420,6 +4420,76 @@ FROM j GROUP BY source
 """
 
 
+def q_source_quantiles(sf_dir: str):
+    """PER-GROUP exact quantiles — p25/p50/p75 of doc length per source
+    (the grouped form of the corpus-quantile operators; the length-profile
+    report every per-source curation policy starts from).
+
+    DuckDB ``quantile_disc`` rank semantics, verified empirically: the
+    q-quantile of n values is the element at 1-indexed rank ``ceil(q*n)``
+    of the sorted list.  Plan: one partial-per-batch (source, value)
+    histogram pass -> bucketed combine (the exchange carries one row per
+    DISTINCT (source, value), never the corpus) -> per-source resolution
+    inside source-hash-bucketed map_groups (sort + cumsum + searchsorted
+    per source — the group count is bounded by |sources|, each group by
+    its distinct-value domain)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    hist = _bucketed_combine(
+        ds.map_batches(
+            lambda df: df.groupby(["source", "n_chars"], sort=False)
+            .size().rename("n").reset_index(),
+            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        ),
+        ["source", "n_chars"], {"n": ("n", "sum")},
+    )
+
+    nb = n_buckets_for_cluster()
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["source"], index=False).to_numpy()
+        return df.assign(__b=(h & np.uint64(nb - 1)).astype(np.int64))
+
+    QS = (0.25, 0.50, 0.75)
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        # the Python loop is over SOURCES in this bucket (bounded), with
+        # each iteration a vectorized pass over that source's histogram
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values("n_chars")
+            cum = g["n"].cumsum().to_numpy()
+            vals = g["n_chars"].to_numpy()
+            n = int(cum[-1])
+            ps = [int(vals[np.searchsorted(cum, math.ceil(q * n))])
+                  for q in QS]
+            out.append((src, *ps, n))
+        return pd.DataFrame(
+            out, columns=["source", "p25", "p50", "p75", "n_docs"]
+        ).astype({"p25": "int64", "p50": "int64", "p75": "int64",
+                  "n_docs": "int64"})
+
+    return _pin_empty(
+        hist.map_batches(rebucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_source, batch_format="pandas"),
+        {"source": pa.string(), "p25": pa.int64(), "p50": pa.int64(),
+         "p75": pa.int64(), "n_docs": pa.int64()},
+    )
+
+
+SQL_SOURCE_QUANTILES = """
+SELECT source,
+       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -4495,6 +4565,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "media_audio_features": q_media_audio_features,
     "span_kind_stats": q_span_kind_stats,
+    "source_quantiles": q_source_quantiles,
 }
 
 
@@ -4571,4 +4642,5 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": SQL_EVENTS_FUNNEL,
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
+        "source_quantiles": SQL_SOURCE_QUANTILES,
     }
