@@ -359,6 +359,11 @@ class CrawlEngine:
                                             # log_publisher.py:21-35);
                                             # fire-and-forget, never on the
                                             # hot path
+        seeds: list[str] | None = None,     # explicit seed URLs; None =
+                                            # web.seeds() (the synthetic
+                                            # default).  Required when
+                                            # web is None ("http" backend
+                                            # against a real site)
         cancel_check=None,                  # () -> bool; polled between stages
         selection: str = "driver",          # "driver" | "distributed"
         seen_ttl: float | None = None,      # dedup window in seconds (ref: 24 h)
@@ -396,7 +401,17 @@ class CrawlEngine:
         self.budget = budget_per_host
         self.max_rounds = max_rounds
         self.max_retries = max_retries
-        self.robots = robots if robots is not None else RobotsPolicy.for_miniweb(web)
+        if robots is not None:
+            self.robots = robots
+        elif web is not None:
+            self.robots = RobotsPolicy.for_miniweb(web)
+        else:
+            # no web and no policy (real-HTTP mode): allow-all; callers
+            # crawling real sites should pass RobotsPolicy.fetched(...)
+            self.robots = RobotsPolicy()
+        self.seeds = list(seeds) if seeds is not None else None
+        if web is None and self.seeds is None:
+            raise ValueError("web=None requires explicit seeds=[...]")
         self.checkpoint_dir = checkpoint_dir
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size
@@ -498,7 +513,8 @@ class CrawlEngine:
         from urllib.parse import urlparse
 
         rows = []
-        for seed in self.web.seeds():
+        seed_urls = self.seeds if self.seeds is not None else self.web.seeds()
+        for seed in seed_urls:
             try:
                 norm, uh = normalize_and_hash(seed)
             except ValueError:

@@ -25,6 +25,14 @@ Config shapes:
      "retention_root": null, "retention_keep": null,
      "retention_min_value": null}
 
+4. REAL crawl over HTTP (no synthetic web; urllib client per fetch actor)::
+
+    {"kind": "crawl", "fetch_backend": "http",
+     "seeds": ["https://example.org/"],
+     "robots": "fetch",               // fetch /robots.txt per seed host
+     "http_timeout": 30, "requests_per_second": 2,
+     "budget_per_host": 64, "max_rounds": 64}
+
 Outputs land under ``--output`` as parquet (documents / items) plus a
 ``result.json`` summary.  Owns its Ray session (guarded init) — the only
 module besides bench.py and the test fixture that does.
@@ -71,11 +79,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from crawler_ray.sources.miniweb import MiniWeb
 
-    web = MiniWeb(
-        n_docs=int(cfg.get("n_docs", 500)),
-        n_hosts=int(cfg.get("n_hosts", 4)),
-        words_per_doc=int(cfg.get("words_per_doc", 60)),
-    )
+    # "http" fetch backend + explicit seeds = a REAL crawl (urllib opener
+    # per actor; no synthetic web is built).  Everything else runs against
+    # the deterministic miniweb, as before.
+    use_http = cfg.get("fetch_backend") == "http"
+    web = None
+    if not (use_http and cfg.get("seeds")):
+        web = MiniWeb(
+            n_docs=int(cfg.get("n_docs", 500)),
+            n_hosts=int(cfg.get("n_hosts", 4)),
+            words_per_doc=int(cfg.get("words_per_doc", 60)),
+        )
 
     if cfg.get("kind", "crawl") == "crawl":
         from crawler_ray.pipelines.crawl import CrawlEngine
@@ -89,6 +103,25 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=cfg.get("checkpoint_dir"),
             requests_per_second=cfg.get("requests_per_second"),
         )
+        if use_http:
+            from crawler_ray.state.robots import RobotsPolicy
+            from crawler_ray.stages.http_fetch import HttpClient
+
+            seeds = list(cfg.get("seeds") or [])
+            kwargs.update(
+                fetch_backend="http",
+                http_timeout=float(cfg.get("http_timeout", 30.0)),
+                seeds=seeds or None,
+            )
+            if cfg.get("robots", "fetch") == "fetch" and seeds:
+                from urllib.parse import urlparse
+
+                hosts = [urlparse(s).netloc for s in seeds if "://" in s]
+                kwargs["robots"] = RobotsPolicy.fetched(
+                    hosts, HttpClient(timeout=kwargs["http_timeout"])
+                )
+            elif cfg.get("robots") == "allow_all":
+                kwargs["robots"] = RobotsPolicy()
         if cfg.get("resume") and cfg.get("checkpoint_dir"):
             result = CrawlEngine.resume(web, cfg["checkpoint_dir"], **{
                 k: v for k, v in kwargs.items() if k != "checkpoint_dir"

@@ -60,3 +60,19 @@ class RobotsPolicy:
 
         body = "".join(f"Disallow: {d}\n" for d in ROBOTS_DISALLOW)
         return cls({h: body for h in web.hosts()})
+
+    @classmethod
+    def fetched(cls, hosts: list[str], client,
+                scheme: str = "https") -> "RobotsPolicy":
+        """Fetch each host's live ``/robots.txt`` through a fetch backend
+        (``fetch(url) -> (status, body)`` — e.g.
+        ``stages/http_fetch.HttpClient``) and build the policy from the
+        bodies.  Non-200 (missing robots, network error) means allow-all
+        for that host — the standard permissive interpretation.  One
+        driver-side request per DISTINCT seed host, bounded by the seed
+        list, never per crawled URL."""
+        rules: dict[str, str] = {}
+        for h in dict.fromkeys(hosts):  # de-dup, keep order
+            status, body = client.fetch(f"{scheme}://{h}/robots.txt")
+            rules[h.lower()] = body if status == 200 else ""
+        return cls(rules)

@@ -280,3 +280,62 @@ def test_http_client_pickles_without_opener():
     assert c2._opener is None and c2._jar is None and c2.extras == []
     assert c2.timeout == 5.0 and c2.headers["X"] == "1"
     assert c2._ensure_opener() is not None  # rebuilds lazily
+
+
+def test_robots_fetched_over_http_client():
+    from crawler_ray.state.robots import RobotsPolicy
+    from crawler_ray.stages.http_fetch import HttpClient
+
+    def site(request):
+        url = request["url"]
+        if url == "https://a.test/robots.txt":
+            return 200, "Disallow: /private\n", {}
+        if url == "https://b.test/robots.txt":
+            return 404, "not here", {}
+        raise AssertionError(url)
+
+    pol = RobotsPolicy.fetched(
+        ["a.test", "b.test", "a.test"], HttpClient(transport=site)
+    )
+    assert not pol.allowed("https://a.test/private/x")
+    assert pol.allowed("https://a.test/public")
+    assert pol.allowed("https://b.test/private/x")  # 404 robots = allow-all
+
+
+def test_real_http_crawl_with_explicit_seeds_and_fetched_robots(ray_session):
+    # web=None end-to-end: seeds + live-fetched robots + HTTP transport —
+    # the CLI's "real crawl" configuration, against a scripted site
+    from crawler_ray.pipelines.crawl import CrawlEngine
+    from crawler_ray.state.robots import RobotsPolicy
+    from crawler_ray.stages.http_fetch import HttpClient
+
+    PAGES = {
+        "https://site.test/robots.txt": "Disallow: /private\n",
+        "https://site.test/": (
+            "<html><title>Home</title><body>"
+            '<a href="/a">a</a> <a href="/private/x">p</a></body></html>'
+        ),
+        "https://site.test/a": (
+            "<html><title>A</title><body><p>leaf</p></body></html>"
+        ),
+        "https://site.test/private/x": (
+            "<html><title>P</title><body><p>secret</p></body></html>"
+        ),
+    }
+    fetched_urls: list[str] = []
+
+    class Site:
+        def __call__(self, request):
+            fetched_urls.append(request["url"])
+            body = PAGES.get(request["url"])
+            return (200, body, {}) if body is not None else (404, "", {})
+
+    robots = RobotsPolicy.fetched(["site.test"], HttpClient(transport=Site()))
+    res = CrawlEngine(
+        None, seeds=["https://site.test/"], robots=robots,
+        budget_per_host=4, max_rounds=5, seen_shards=2,
+        fetch_backend="http", http_transport=Site(),
+    ).run()
+    urls = [r["url"] for r in res.pages.take_all()]
+    assert "https://site.test/" in urls and "https://site.test/a" in urls
+    assert all("/private/" not in u for u in urls)
