@@ -193,7 +193,11 @@ class HttpClient:
             return e.code, raw, dict(e.headers or {})
 
     # -- full request: redirects + capture ------------------------------
-    def fetch(self, url: str, retry_count: int = 0) -> tuple[int, str]:
+    def fetch_one(self, url: str, retry_count: int = 0
+                  ) -> tuple[int, str, tuple[str, int, str]]:
+        """One request, returning ``(status, text, extra)`` with the extra
+        tuple ``(final_url, retry_after_sec, error)`` — shared-state-free,
+        so threaded wave fetching can call it concurrently."""
         import http.client
         import socket
         import urllib.error
@@ -218,8 +222,7 @@ class HttpClient:
                     break
                 hops += 1
                 if hops > self.max_redirects:
-                    self.extras.append((final_url, -1, "too many redirects"))
-                    return 0, ""
+                    return 0, "", (final_url, -1, "too many redirects")
                 final_url = urljoin(final_url, loc)
                 # httpx demotion semantics (its _redirect_method, which the
                 # reference client inherits): 303 turns everything except
@@ -230,31 +233,35 @@ class HttpClient:
                 elif status in (301, 302) and method == "POST":
                     method, body = "GET", None
         except (TimeoutError, socket.timeout) as e:
-            self.extras.append((final_url, -1, f"timeout: {e}"))
-            return 0, ""
+            return 0, "", (final_url, -1, f"timeout: {e}")
         except urllib.error.URLError as e:
             if isinstance(getattr(e, "reason", None), (TimeoutError, socket.timeout)):
-                self.extras.append((final_url, -1, f"timeout: {e.reason}"))
-            else:
-                self.extras.append((final_url, -1, f"request error: {e.reason}"))
-            return 0, ""
+                return 0, "", (final_url, -1, f"timeout: {e.reason}")
+            return 0, "", (final_url, -1, f"request error: {e.reason}")
         except (OSError, http.client.HTTPException, ValueError) as e:
             # HTTPException (BadStatusLine/IncompleteRead from a malformed
             # server response) and ValueError (Request on a non-http href
             # like mailto:/javascript:) are per-ROW failures: record a
             # status-0 error row, never crash the whole fetch task
-            self.extras.append(
-                (final_url, -1, f"request error: {type(e).__name__}: {e}")
+            return 0, "", (
+                final_url, -1, f"request error: {type(e).__name__}: {e}"
             )
-            return 0, ""
 
         ra = None
         for k, v in rheaders.items():
             if str(k).lower() == "retry-after":
                 ra = parse_retry_after(str(v))
                 break
-        self.extras.append((final_url, -1 if ra is None else int(ra), ""))
-        return int(status), _decode_body(raw, rheaders)
+        return (
+            int(status),
+            _decode_body(raw, rheaders),
+            (final_url, -1 if ra is None else int(ra), ""),
+        )
+
+    def fetch(self, url: str, retry_count: int = 0) -> tuple[int, str]:
+        status, text, extra = self.fetch_one(url, retry_count)
+        self.extras.append(extra)
+        return status, text
 
 
 class HttpFetcher(SyntheticFetcher):
@@ -312,7 +319,18 @@ class HttpFetcher(SyntheticFetcher):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.web.extras = []
-        out = super().__call__(batch)
+        if (self.connections > 1 and self.rps is None
+                and self.global_limiter is None):
+            # pure budget-politeness mode: REAL concurrency.  The
+            # synthetic engine's waves simulate one shared RTT per wave;
+            # a sync urllib client would serialize them, so here the wave
+            # runs on a per-actor thread pool (the reference's 30 async
+            # clients on one loop, PRD MAX_HTTP_WORKERS=30).  fetch_one is
+            # shared-state-free (urllib openers and CookieJar lock
+            # internally); results are re-ordered by row index.
+            out = self._threaded(batch)
+        else:
+            out = super().__call__(batch)
         if not self.extended:
             return out
         ex = self.web.extras
@@ -327,4 +345,22 @@ class HttpFetcher(SyntheticFetcher):
             .append_column(
                 "fetch_error", pa.array([e[2] for e in ex], pa.string())
             )
+        )
+
+    def _threaded(self, batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if getattr(self, "_pool", None) is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.connections)
+        urls = batch["url"].to_pylist()
+        retries = batch["retry_count"].to_pylist()
+        results = list(self._pool.map(
+            lambda ur: self.web.fetch_one(ur[0], ur[1] or 0),
+            zip(urls, retries),
+        ))  # pool.map preserves input order
+        self.web.extras = [r[2] for r in results]
+        return batch.append_column(
+            "status", pa.array([r[0] for r in results], type=pa.int32())
+        ).append_column(
+            "html", pa.array([r[1] for r in results], type=pa.string())
         )

@@ -339,3 +339,33 @@ def test_real_http_crawl_with_explicit_seeds_and_fetched_robots(ray_session):
     urls = [r["url"] for r in res.pages.take_all()]
     assert "https://site.test/" in urls and "https://site.test/a" in urls
     assert all("/private/" not in u for u in urls)
+
+
+def test_threaded_waves_overlap_and_preserve_order():
+    # connections>1 in pure budget mode runs the wave on a thread pool:
+    # wall must beat sequential, outputs stay in row order, extras aligned
+    import threading
+    import time as _t
+
+    lock = threading.Lock()
+    inflight = {"now": 0, "max": 0}
+
+    def slow_site(request):
+        with lock:
+            inflight["now"] += 1
+            inflight["max"] = max(inflight["max"], inflight["now"])
+        _t.sleep(0.05)
+        with lock:
+            inflight["now"] -= 1
+        i = request["url"].rsplit("/", 1)[1]
+        return 200, f"page-{i}", {"Retry-After": i}
+
+    f = HttpFetcher(transport=slow_site, connections=4, extended=True)
+    urls = [f"http://w.test/{i}" for i in range(12)]
+    t0 = _t.perf_counter()
+    out = f(_batch(urls, hosts=["w"] * 12))
+    wall = _t.perf_counter() - t0
+    assert out["html"].to_pylist() == [f"page-{i}" for i in range(12)]
+    assert out["retry_after_sec"].to_pylist() == list(range(12))
+    assert inflight["max"] >= 2          # genuinely concurrent
+    assert wall < 12 * 0.05              # beats sequential (0.6 s)
