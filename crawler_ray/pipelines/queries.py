@@ -1242,6 +1242,71 @@ JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
 """
 
 
+def q_doc_canonical_pick(sf_dir: str):
+    """Canonical-document selection per duplicate cluster — the step AFTER
+    clustering in every dedup pipeline: keep exactly one representative
+    per cluster (longest text wins; ties break to the lowest doc_id) and
+    report what was dropped.  Plan: cluster assignments (bounded: dup docs
+    only) + an attach join for the length column, per-batch argmax
+    partials (one survivor per cluster per batch — batch-size-invariant
+    because argmax is idempotent/mergeable), and a cluster-hash-bucketed
+    final argmax; the exchange carries one row per (cluster, batch)."""
+    from crawler_ray.stages.join import attach_unique
+
+    clusters = q_doc_dup_clusters(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    with_len = attach_unique(clusters, docs, "doc_id", "doc_id", how="inner")
+
+    def argmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.drop_duplicates("cluster_id")
+
+    nb = n_buckets_for_cluster()
+
+    def rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["cluster_id"], index=False).to_numpy()
+        return df.assign(__b=(h & np.uint64(nb - 1)).astype(np.int64))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        keep = argmax_partial(df)
+        return pd.DataFrame({
+            "cluster_id": keep["cluster_id"].to_numpy(np.int64),
+            "cluster_size": keep["cluster_size"].to_numpy(np.int64),
+            "n_dropped": keep["cluster_size"].to_numpy(np.int64) - 1,
+            "keep_doc_id": keep["doc_id"].to_numpy(np.int64),
+            "keep_chars": keep["n_chars"].to_numpy(np.int64),
+        })
+
+    return _pin_empty(
+        with_len.map_batches(argmax_partial, batch_format="pandas",
+                             batch_size=PARTIAL_BATCH)
+        .map_batches(rebucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas"),
+        {"cluster_id": pa.int64(), "cluster_size": pa.int64(),
+         "n_dropped": pa.int64(), "keep_doc_id": pa.int64(),
+         "keep_chars": pa.int64()},
+    )
+
+
+SQL_DOC_CANONICAL_PICK = f"""
+WITH c AS ({SQL_DOC_DUP_CLUSTERS}),
+j AS (SELECT c.cluster_id, c.cluster_size, c.doc_id, d.n_chars
+      FROM c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_dropped,
+       doc_id AS keep_doc_id,
+       CAST(n_chars AS BIGINT) AS keep_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+WHERE rn = 1
+"""
+
+
 DECONTAM_K = 5          # n-gram length for contamination matching
 DECONTAM_BENCH_DOCS = 50  # doc_id < K = the "benchmark" set stand-in
 
@@ -4566,6 +4631,7 @@ QUERIES = {
     "media_audio_features": q_media_audio_features,
     "span_kind_stats": q_span_kind_stats,
     "source_quantiles": q_source_quantiles,
+    "doc_canonical_pick": q_doc_canonical_pick,
 }
 
 
@@ -4643,4 +4709,5 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_stats": SQL_SPAN_KIND_STATS,
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
         "source_quantiles": SQL_SOURCE_QUANTILES,
+        "doc_canonical_pick": SQL_DOC_CANONICAL_PICK,
     }
