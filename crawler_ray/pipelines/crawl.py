@@ -410,8 +410,10 @@ class CrawlEngine:
             # crawling real sites should pass RobotsPolicy.fetched(...)
             self.robots = RobotsPolicy()
         self.seeds = list(seeds) if seeds is not None else None
-        if web is None and self.seeds is None:
-            raise ValueError("web=None requires explicit seeds=[...]")
+        if web is None and not self.seeds:
+            # an EMPTY seed list is as much a misconfiguration as a
+            # missing one — it would "succeed" with zero pages
+            raise ValueError("web=None requires non-empty seeds=[...]")
         self.checkpoint_dir = checkpoint_dir
         self.fetch_concurrency = fetch_concurrency
         self.fetch_batch_size = fetch_batch_size

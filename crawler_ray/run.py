@@ -79,12 +79,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from crawler_ray.sources.miniweb import MiniWeb
 
-    # "http" fetch backend + explicit seeds = a REAL crawl (urllib opener
-    # per actor; no synthetic web is built).  Everything else runs against
-    # the deterministic miniweb, as before.
+    # "http" fetch backend = a REAL crawl/workflow (urllib opener per
+    # actor/worker; no synthetic web is built).  Everything else runs
+    # against the deterministic miniweb, as before.
     use_http = cfg.get("fetch_backend") == "http"
+    if use_http and cfg.get("kind", "crawl") == "crawl" and not cfg.get("seeds"):
+        # without seeds the crawl would resolve synthetic hostnames over
+        # the live network and "succeed" with zero pages — refuse loudly
+        raise SystemExit('fetch_backend "http" requires non-empty "seeds"')
     web = None
-    if not (use_http and cfg.get("seeds")):
+    if not use_http:
         web = MiniWeb(
             n_docs=int(cfg.get("n_docs", 500)),
             n_hosts=int(cfg.get("n_hosts", 4)),
@@ -111,14 +115,13 @@ def main(argv: list[str] | None = None) -> int:
             kwargs.update(
                 fetch_backend="http",
                 http_timeout=float(cfg.get("http_timeout", 30.0)),
-                seeds=seeds or None,
+                seeds=seeds,
             )
-            if cfg.get("robots", "fetch") == "fetch" and seeds:
-                from urllib.parse import urlparse
-
-                hosts = [urlparse(s).netloc for s in seeds if "://" in s]
-                kwargs["robots"] = RobotsPolicy.fetched(
-                    hosts, HttpClient(timeout=kwargs["http_timeout"])
+            if cfg.get("robots", "fetch") == "fetch":
+                # per-seed scheme: an http-only host must not be probed
+                # over https (error -> silent allow-all)
+                kwargs["robots"] = RobotsPolicy.fetched_for_seeds(
+                    seeds, HttpClient(timeout=kwargs["http_timeout"])
                 )
             elif cfg.get("robots") == "allow_all":
                 kwargs["robots"] = RobotsPolicy()
@@ -156,7 +159,14 @@ def main(argv: list[str] | None = None) -> int:
     elif cfg["kind"] == "workflow":
         from crawler_ray.pipelines.workflow import WorkflowRunner
 
-        ctx = WorkflowRunner(web).run(
+        backend = web
+        if use_http:
+            # real HTTP workflow: the step configs carry their own seed
+            # URLs, so no seeds key is needed at the job level
+            from crawler_ray.stages.http_fetch import HttpClient
+
+            backend = HttpClient(timeout=float(cfg.get("http_timeout", 30.0)))
+        ctx = WorkflowRunner(backend).run(
             cfg["steps"], seed_url=cfg.get("seed_url"),
             variables=cfg.get("variables"),
         )

@@ -23,10 +23,11 @@ suite runs through the HTTP backend end-to-end.
 
 Redirects are followed by THIS module (the urllib auto-handler is
 disabled) so both the real and the mock paths share one verified
-semantics: 301/302/303 demote non-GET methods to GET and drop the body
-(httpx's behavior, which the reference relies on), 307/308 preserve
-method + body, relative Locations resolve against the hop URL, and hops
-are capped at ``max_redirects``.
+semantics — httpx's ``_redirect_method`` rules, which the reference
+relies on: 302/303 demote every method except HEAD to GET and drop the
+body, 301 demotes only POST, 307/308 preserve method + body; relative
+Locations resolve against the hop URL and hops are capped at
+``max_redirects``.
 """
 
 from __future__ import annotations
@@ -136,34 +137,51 @@ class HttpClient:
             self.body = _json.dumps(json_body).encode()
             self.headers.setdefault("Content-Type", "application/json")
 
+        import threading
+
         self._opener = None
         self._jar = None
+        self._lock = threading.Lock()
         self.extras: list[tuple[str, int, str]] = []  # (final_url, retry_after, error)
 
     def __getstate__(self):
-        # opener/jar are process-local (sockets, live handlers): drop them
-        # so the instance ships into Ray tasks; the receiving worker
-        # rebuilds its own on first request
+        # opener/jar are process-local (sockets, live handlers) and the
+        # lock is unpicklable: drop them so the instance ships into Ray
+        # tasks; the receiving worker rebuilds its own on first request
         d = dict(self.__dict__)
         d["_opener"] = None
         d["_jar"] = None
         d["extras"] = []
+        d.pop("_lock", None)
         return d
 
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def _ensure_opener(self):
+        # double-checked under the lock: the first THREADED wave calls
+        # this concurrently, and an unsynchronized build could pair an
+        # in-flight request with a cookie jar that is then overwritten
+        # (silent session-cookie loss)
         if self._opener is None:
-            import urllib.request
-            from http.cookiejar import CookieJar
+            with self._lock:
+                if self._opener is None:
+                    import urllib.request
+                    from http.cookiejar import CookieJar
 
-            class _NoRedirect(urllib.request.HTTPRedirectHandler):
-                # disable auto-follow: the fetcher owns redirect semantics
-                def redirect_request(self, *a, **kw):  # pragma: no cover
-                    return None
+                    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+                        # no auto-follow: the fetcher owns redirects
+                        def redirect_request(self, *a, **kw):  # pragma: no cover
+                            return None
 
-            self._jar = CookieJar()
-            self._opener = urllib.request.build_opener(
-                _NoRedirect(), urllib.request.HTTPCookieProcessor(self._jar)
-            )
+                    self._jar = CookieJar()
+                    self._opener = urllib.request.build_opener(
+                        _NoRedirect(),
+                        urllib.request.HTTPCookieProcessor(self._jar),
+                    )
         return self._opener
 
     # -- single hop ----------------------------------------------------
@@ -225,12 +243,12 @@ class HttpClient:
                     return 0, "", (final_url, -1, "too many redirects")
                 final_url = urljoin(final_url, loc)
                 # httpx demotion semantics (its _redirect_method, which the
-                # reference client inherits): 303 turns everything except
-                # HEAD into GET; 301/302 demote only POST; 307/308 always
-                # preserve method + body
-                if status == 303 and method != "HEAD":
+                # reference client inherits — httpx _client.py:498-512):
+                # 302 and 303 turn every method except HEAD into GET;
+                # 301 demotes only POST; 307/308 preserve method + body
+                if status in (302, 303) and method != "HEAD":
                     method, body = "GET", None
-                elif status in (301, 302) and method == "POST":
+                elif status == 301 and method == "POST":
                     method, body = "GET", None
         except (TimeoutError, socket.timeout) as e:
             return 0, "", (final_url, -1, f"timeout: {e}")

@@ -76,3 +76,19 @@ class RobotsPolicy:
             status, body = client.fetch(f"{scheme}://{h}/robots.txt")
             rules[h.lower()] = body if status == 200 else ""
         return cls(rules)
+
+    @classmethod
+    def fetched_for_seeds(cls, seeds: list[str], client) -> "RobotsPolicy":
+        """Like :meth:`fetched`, but each host's robots.txt is requested
+        with ITS seed's scheme — an http-only host must not be probed over
+        https (which errors and silently degrades to allow-all)."""
+        pairs: dict[str, str] = {}
+        for s in seeds:
+            u = urlparse(s)
+            if u.scheme in ("http", "https") and u.netloc:
+                pairs.setdefault(u.netloc.lower(), u.scheme)
+        rules: dict[str, str] = {}
+        for host, scheme in pairs.items():
+            status, body = client.fetch(f"{scheme}://{host}/robots.txt")
+            rules[host] = body if status == 200 else ""
+        return cls(rules)

@@ -369,3 +369,65 @@ def test_threaded_waves_overlap_and_preserve_order():
     assert out["retry_after_sec"].to_pylist() == list(range(12))
     assert inflight["max"] >= 2          # genuinely concurrent
     assert wall < 12 * 0.05              # beats sequential (0.6 s)
+
+
+def test_redirect_302_demotes_every_non_head_method():
+    # httpx _client.py: "Turn 302s into GETs" applies to PUT/DELETE too
+    tr = RecordingTransport([
+        (302, "", {"Location": "/found"}),
+        (200, "ok", {}),
+    ])
+    f = HttpFetcher(transport=tr, http_method="PUT", data="payload")
+    f(_batch(["http://ex.test/doc"]))
+    assert tr.requests[1]["method"] == "GET"
+    assert tr.requests[1]["body"] is None
+
+    tr2 = RecordingTransport([
+        (302, "", {"Location": "/found"}),
+        (200, "", {}),
+    ])
+    f2 = HttpFetcher(transport=tr2, http_method="HEAD")
+    f2(_batch(["http://ex.test/doc"]))
+    assert tr2.requests[1]["method"] == "HEAD"
+
+
+def test_robots_fetched_for_seeds_uses_seed_scheme():
+    from crawler_ray.state.robots import RobotsPolicy
+    from crawler_ray.stages.http_fetch import HttpClient
+
+    asked: list[str] = []
+
+    def site(request):
+        asked.append(request["url"])
+        if request["url"] == "http://plain.test/robots.txt":
+            return 200, "Disallow: /x\n", {}
+        return 200, "", {}
+
+    pol = RobotsPolicy.fetched_for_seeds(
+        ["http://plain.test/start", "https://tls.test/start"],
+        HttpClient(transport=site),
+    )
+    assert "http://plain.test/robots.txt" in asked
+    assert "https://tls.test/robots.txt" in asked
+    assert not pol.allowed("http://plain.test/x/1")
+    assert pol.allowed("https://tls.test/anything")
+
+
+def test_engine_rejects_empty_seed_list():
+    from crawler_ray.pipelines.crawl import CrawlEngine
+
+    with pytest.raises(ValueError, match="non-empty seeds"):
+        CrawlEngine(None, seeds=[], fetch_backend="http")
+    with pytest.raises(ValueError, match="non-empty seeds"):
+        CrawlEngine(None, fetch_backend="http")
+
+
+def test_cli_rejects_http_without_seeds(tmp_path):
+    import json as _json
+
+    from crawler_ray.run import main
+
+    cfgp = tmp_path / "job.json"
+    cfgp.write_text(_json.dumps({"kind": "crawl", "fetch_backend": "http"}))
+    with pytest.raises(SystemExit, match="requires non-empty"):
+        main(["--config", str(cfgp), "--output", str(tmp_path / "out")])
