@@ -4159,11 +4159,22 @@ def q_events_funnel(sf_dir: str):
         .map_groups(funnel, batch_format="pandas"),
         {"stage": pa.string(), "n_users": pa.int64()},
     )
-    # final fold: the stream is BOUNDED at 3 rows per bucket (+ the seed),
-    # so the driver sums O(buckets) rows directly — a distributed
-    # 3-group aggregate here would cost a full sort exchange and emit
-    # empty partitions for nothing
-    parts = per_bucket.union(seed).to_pandas()
+    # final fold: the stream is BOUNDED at 3 rows per bucket (+ the seed);
+    # a coalescing partial sum collapses it to 3 rows per PARTIAL_BATCH
+    # task before the driver pull (rows-aware bucket counts can reach
+    # ~1M buckets at petabyte scale — the driver must see O(tasks x 3)
+    # rows, not O(buckets x 3)).  A distributed 3-group aggregate here
+    # would cost a full sort exchange and emit empty partitions for
+    # nothing.
+    parts = (
+        per_bucket.union(seed)
+        .map_batches(
+            lambda df: df.groupby("stage", sort=False, as_index=False)
+            ["n_users"].sum(),
+            batch_format="pandas", batch_size=PARTIAL_BATCH,
+        )
+        .to_pandas()
+    )
     out = (
         parts.groupby("stage", sort=True, as_index=False)["n_users"]
         .sum()
