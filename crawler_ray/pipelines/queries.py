@@ -4566,6 +4566,180 @@ FROM documents GROUP BY source
 """
 
 
+# ==================================================== train/val/test split
+# Deterministic hash split — the canonical last stage of a training-data
+# pipeline.  Membership is a pure per-row function of a salted md5 of the
+# document id, so the assignment is shuffle-free, RNG-free, identical at
+# any parallelism, stable under re-runs/resume, and (because every engine
+# computes the same md5) exactly reproducible by the SQL oracle.
+_SPLIT_SALT = "split:"
+_SPLIT_FRACS = (("train", 8), ("val", 1), ("test", 1))  # tenths
+
+
+def _split_labels(ids) -> np.ndarray:
+    """Vectorized-enough salted-hash split labels for an id sequence.
+
+    md5 here is the ORACLE-parity choice (DuckDB recomputes it); at 100 TB
+    one would swap in a vectorized siphash over int64 ids — the membership
+    rule (hv/2^32 < cumulative fraction) is the design point."""
+    hv = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.md5((_SPLIT_SALT + str(int(i))).encode()).digest()[:4],
+                "big",
+            )
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+    lab = np.full(len(hv), "test", dtype="<U5")
+    cum = 0
+    for name, tenths in _SPLIT_FRACS[:-1]:
+        lo = cum
+        cum += tenths
+        sel = (hv * 10 >= np.uint64(lo << 32)) & (hv * 10 < np.uint64(cum << 32))
+        lab[sel] = name
+    return lab
+
+
+_SQL_SPLIT_CASE = """CASE WHEN hv * 10 < 8 * 4294967296 THEN 'train'
+            WHEN hv * 10 < 9 * 4294967296 THEN 'val'
+            ELSE 'test' END"""
+_SQL_SPLIT_HV = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT)"
+)
+
+
+def q_doc_split(sf_dir: str):
+    """Per-document train/val/test assignment (80/10/10 by salted hash).
+    Zero shuffle: an embarrassingly parallel labeling map; downstream
+    writers partition on the label (sources/storage.py partitioned
+    layout), so each split lands in its own resumable directory."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "source"]].copy()
+        out["split"] = _split_labels(out["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+SQL_DOC_SPLIT = f"""
+SELECT doc_id, source, {_SQL_SPLIT_CASE} AS split
+FROM (SELECT doc_id, source, {_SQL_SPLIT_HV} AS hv FROM documents)
+"""
+
+
+# ==================================================== corpus preparation
+# End-to-end training-corpus preparation COMPOSED from the engine's
+# stages in one streaming pipeline: re-crawl echo -> quality gate ->
+# exact dedup (canonical = first doc) -> split assignment.  One shuffle
+# total (the content-hash combine); everything else is per-batch maps.
+PREP_MIN_CHARS = 64
+PREP_MIN_TOKENS = 12
+PREP_ECHO_MOD = 5
+PREP_ECHO_OFFSET = 1_000_000
+
+
+def q_prepare_corpus(sf_dir: str):
+    """Corpus prep flagship: documents plus a deterministic "re-crawl
+    echo" (every doc_id % 5 == 0 document reappears under a shifted id —
+    the duplication a second crawl pass produces, synthesized identically
+    on both sides so the dedup leg provably does real work), gated on
+    length/token floors, exactly deduped on content md5 keeping the
+    earliest id, then split-labeled.  Per-batch partials emit one
+    (content_hash, min_doc_id) row per distinct hash per batch, the
+    bucketed combine resolves canonicals, and the split label is a pure
+    map over the O(distinct) survivors — the corpus text itself never
+    shuffles."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate_hash_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        echo_mask = (ids % PREP_ECHO_MOD) == 0
+        echo = t.filter(pa.array(echo_mask))
+        echo = echo.set_column(
+            echo.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(
+                echo["doc_id"].to_numpy(zero_copy_only=False)
+                + PREP_ECHO_OFFSET
+            ),
+        )
+        corpus = pa.concat_tables([t, echo])
+        n_tok = pc.add(pc.count_substring(corpus["text"], " "), 1)
+        keep = pc.and_(
+            pc.greater_equal(
+                pc.utf8_length(corpus["text"]), PREP_MIN_CHARS
+            ),
+            pc.greater_equal(n_tok, PREP_MIN_TOKENS),
+        )
+        kept = corpus.filter(keep)
+        ch = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in kept["text"].to_pylist()
+        ]
+        part = (
+            pd.DataFrame(
+                {
+                    "content_hash": ch,
+                    "doc_id": kept["doc_id"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("content_hash", sort=False)["doc_id"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "content_hash": pa.array(part["content_hash"], pa.string()),
+                "doc_id": pa.array(part["doc_id"], pa.int64()),
+            }
+        )
+
+    canon = _bucketed_combine(
+        ds.map_batches(
+            gate_hash_partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH
+        ),
+        ["content_hash"],
+        {"doc_id": ("doc_id", "min")},
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "content_hash"]].copy()
+        out["split"] = _split_labels(out["doc_id"].to_numpy())
+        return out
+
+    return canon.map_batches(assign, batch_format="pandas")
+
+
+SQL_PREPARE_CORPUS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PREP_ECHO_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % {PREP_ECHO_MOD} = 0
+),
+kept AS (
+  SELECT doc_id, text FROM corpus
+  WHERE length(text) >= {PREP_MIN_CHARS}
+    AND length(text) - length(replace(text, ' ', '')) + 1 >= {PREP_MIN_TOKENS}
+),
+canon AS (
+  SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+  FROM kept GROUP BY md5(text)
+)
+SELECT doc_id, content_hash, {_SQL_SPLIT_CASE} AS split
+FROM (SELECT doc_id, content_hash, {_SQL_SPLIT_HV} AS hv FROM canon)
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -4582,7 +4756,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "priority_scores": q_priority_scores,
     "doc_exact_dedup": q_doc_exact_dedup,
-    "doc_top_content": q_doc_top_content,
+    "prepare_corpus": q_prepare_corpus,
     "doc_source_stats": q_doc_source_stats,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -4643,6 +4817,8 @@ QUERIES = {
     "span_kind_stats": q_span_kind_stats,
     "source_quantiles": q_source_quantiles,
     "doc_canonical_pick": q_doc_canonical_pick,
+    "doc_top_content": q_doc_top_content,
+    "doc_split": q_doc_split,
 }
 
 
@@ -4721,4 +4897,6 @@ def oracle_sql() -> dict[str, str]:
         "span_boilerplate": SQL_SPAN_BOILERPLATE,
         "source_quantiles": SQL_SOURCE_QUANTILES,
         "doc_canonical_pick": SQL_DOC_CANONICAL_PICK,
+        "doc_split": SQL_DOC_SPLIT,
+        "prepare_corpus": SQL_PREPARE_CORPUS,
     }

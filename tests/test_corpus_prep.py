@@ -1,0 +1,84 @@
+"""Semantics of the train/val/test split and the corpus-prep composite
+(value-exact oracle compares run in test_oracle.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def test_split_fractions_and_determinism(ray_session, sf_dir):
+    """80/10/10 by salted hash: every doc labeled, fractions near target,
+    and the assignment is a pure function of the id (re-run identical)."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    a = QUERIES["doc_split"](sf_dir).to_pandas()
+    b = QUERIES["doc_split"](sf_dir).to_pandas()
+    assert len(a) == 500 and set(a["split"]) <= {"train", "val", "test"}
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.70 <= frac.get("train", 0) <= 0.90
+    assert frac.get("val", 0) <= 0.20 and frac.get("test", 0) <= 0.20
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_split_is_salted_hash_of_id(ray_session, sf_dir):
+    """The label depends only on md5('split:'+id) — spot-check rows against
+    a direct recomputation (oracle parity is the md5 prefix rule)."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["doc_split"](sf_dir).to_pandas()
+    for _, row in out.head(50).iterrows():
+        hv = int.from_bytes(
+            hashlib.md5(f"split:{int(row.doc_id)}".encode()).digest()[:4],
+            "big",
+        )
+        want = (
+            "train" if hv * 10 < (8 << 32)
+            else "val" if hv * 10 < (9 << 32)
+            else "test"
+        )
+        assert row.split == want
+
+
+def test_prepare_corpus_dedups_echo_to_originals(ray_session, sf_dir):
+    """The synthetic re-crawl echo must collapse: no surviving canonical
+    carries an echoed id (min(doc_id) always picks the original), every
+    survivor passes the gate, and hashes are unique."""
+    from crawler_ray.pipelines.queries import (
+        PREP_ECHO_OFFSET,
+        PREP_MIN_CHARS,
+        PREP_MIN_TOKENS,
+        QUERIES,
+        _read,
+    )
+
+    out = QUERIES["prepare_corpus"](sf_dir).to_pandas()
+    assert (out["doc_id"] < PREP_ECHO_OFFSET).all()
+    assert out["content_hash"].is_unique
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    surv = out["doc_id"].map(text_of)
+    n_tok = surv.str.count(" ").to_numpy() + 1
+    assert (surv.str.len().to_numpy() >= PREP_MIN_CHARS).all()
+    assert (n_tok >= PREP_MIN_TOKENS).all()
+    # gated-out docs really exist (the gate does work on this corpus)
+    n_gated = (
+        (docs["text"].str.len() < PREP_MIN_CHARS)
+        | (docs["text"].str.count(" ") + 1 < PREP_MIN_TOKENS)
+    ).sum()
+    assert n_gated > 0
+    assert len(out) == len(docs) - n_gated
+
+
+def test_prepare_corpus_split_matches_doc_split_rule(ray_session, sf_dir):
+    """Both operators share one membership rule: survivors of the prep
+    pipeline carry the same label doc_split assigns them."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    prep = QUERIES["prepare_corpus"](sf_dir).to_pandas()
+    split = QUERIES["doc_split"](sf_dir).to_pandas()
+    label_of = dict(zip(split["doc_id"], split["split"]))
+    assert (prep["doc_id"].map(label_of) == prep["split"]).all()
