@@ -4612,19 +4612,24 @@ _SQL_SPLIT_HV = (
 )
 
 
+def _with_split(ds: "rd.Dataset", carry: str) -> "rd.Dataset":
+    """Append the salted-hash split label to (doc_id, <carry>) rows — the
+    single membership rule shared by every split-labeling operator."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", carry]].copy()
+        out["split"] = _split_labels(out["doc_id"].to_numpy())
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def q_doc_split(sf_dir: str):
     """Per-document train/val/test assignment (80/10/10 by salted hash).
     Zero shuffle: an embarrassingly parallel labeling map; downstream
     writers partition on the label (sources/storage.py partitioned
     layout), so each split lands in its own resumable directory."""
-    ds = _read(sf_dir, "documents", ["doc_id", "source"])
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id", "source"]].copy()
-        out["split"] = _split_labels(out["doc_id"].to_numpy())
-        return out
-
-    return ds.map_batches(assign, batch_format="pandas")
+    return _with_split(_read(sf_dir, "documents", ["doc_id", "source"]), "source")
 
 
 SQL_DOC_SPLIT = f"""
@@ -4661,35 +4666,31 @@ def q_prepare_corpus(sf_dir: str):
 
     def gate_hash_partial(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        echo_mask = (ids % PREP_ECHO_MOD) == 0
-        echo = t.filter(pa.array(echo_mask))
-        echo = echo.set_column(
-            echo.schema.get_field_index("doc_id"),
-            "doc_id",
-            pa.array(
-                echo["doc_id"].to_numpy(zero_copy_only=False)
-                + PREP_ECHO_OFFSET
-            ),
-        )
-        corpus = pa.concat_tables([t, echo])
-        n_tok = pc.add(pc.count_substring(corpus["text"], " "), 1)
+        n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
         keep = pc.and_(
-            pc.greater_equal(
-                pc.utf8_length(corpus["text"]), PREP_MIN_CHARS
-            ),
+            pc.greater_equal(pc.utf8_length(t["text"]), PREP_MIN_CHARS),
             pc.greater_equal(n_tok, PREP_MIN_TOKENS),
         )
-        kept = corpus.filter(keep)
-        ch = [
-            hashlib.md5(s.encode()).hexdigest()
-            for s in kept["text"].to_pylist()
-        ]
+        kept = t.filter(keep)
+        ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        ch = np.array(
+            [
+                hashlib.md5(s.encode()).hexdigest()
+                for s in kept["text"].to_pylist()
+            ],
+            dtype=object,
+        )
+        # The echo shares its original's text byte-for-byte, so its gate
+        # verdict and content hash ARE the original's: emit its partial
+        # rows from the same arrays instead of re-gating/re-hashing it.
+        echo = (ids % PREP_ECHO_MOD) == 0
         part = (
             pd.DataFrame(
                 {
-                    "content_hash": ch,
-                    "doc_id": kept["doc_id"].to_numpy(zero_copy_only=False),
+                    "content_hash": np.concatenate([ch, ch[echo]]),
+                    "doc_id": np.concatenate(
+                        [ids, ids[echo] + PREP_ECHO_OFFSET]
+                    ),
                 }
             )
             .groupby("content_hash", sort=False)["doc_id"]
@@ -4711,12 +4712,7 @@ def q_prepare_corpus(sf_dir: str):
         {"doc_id": ("doc_id", "min")},
     )
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["doc_id", "content_hash"]].copy()
-        out["split"] = _split_labels(out["doc_id"].to_numpy())
-        return out
-
-    return canon.map_batches(assign, batch_format="pandas")
+    return _with_split(canon, "content_hash")
 
 
 SQL_PREPARE_CORPUS = f"""

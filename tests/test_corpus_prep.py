@@ -59,6 +59,11 @@ def test_prepare_corpus_dedups_echo_to_originals(ray_session, sf_dir):
     assert (out["doc_id"] < PREP_ECHO_OFFSET).all()
     assert out["content_hash"].is_unique
     docs = _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()
+    # Fixture preconditions this test's exact-count assertions rest on
+    # (the PIPELINE stays correct without them; only the counts below
+    # would need loosening if the corpus generator ever changes):
+    assert docs["doc_id"].max() < PREP_ECHO_OFFSET
+    assert not docs["text"].duplicated().any()
     text_of = dict(zip(docs["doc_id"], docs["text"]))
     surv = out["doc_id"].map(text_of)
     n_tok = surv.str.count(" ").to_numpy() + 1
