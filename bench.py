@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     # fuzzy edit-distance self-join: distinct-first + length bands +
     # segment (PassJoin) candidate filter instead of per-band all-pairs
     "part_fuzzy_pairs",
+    # corpus-prep composite: echo -> gate -> exact dedup -> split, one
+    # content-hash combine total (the text itself never shuffles)
+    "prepare_corpus",
+    # token-budget sequence packing via the distributed prefix scan
+    "doc_pack_sequences",
 ]
 
 

@@ -71,6 +71,28 @@ def _meta_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def _meta_col_minmax(sf_dir: str, name: str, col: str) -> tuple | None:
+    """(min, max) of one column from parquet row-group statistics —
+    O(footers).  None when any row group lacks stats."""
+    try:
+        lo = hi = None
+        for f in _meta_files(sf_dir, name):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except Exception:
+        return None
+
+
 def _meta_col_bytes(sf_dir: str, name: str, col: str) -> int | None:
     """Total UNCOMPRESSED bytes of one column, from the parquet footers.
     The volume estimator for derived streams whose row count is data-
@@ -4736,6 +4758,127 @@ FROM (SELECT doc_id, content_hash, {_SQL_SPLIT_HV} AS hv FROM canon)
 """
 
 
+# ==================================================== sequence packing
+# Greedy contiguous packing for pretraining: documents in doc_id order
+# are concatenated and cut into fixed token-budget sequences, so each
+# doc's sequence id is a pure function of the GLOBAL running token count
+# before it — a distributed prefix scan.  Plan: one narrow (doc_id,
+# n_tok) projection (materialized: 16 B/row — the only state either pass
+# needs, so the text column is scanned exactly once); range-bucket by
+# doc_id so bucket order == id order; per-bucket token sums fold into
+# exclusive prefix offsets on the driver (O(buckets) scalars); a final
+# per-bucket pass sorts locally and adds its broadcast offset.  No stage
+# holds more than one bucket (rows-aware sizing, ~1M rows each) and the
+# text never shuffles.
+PACK_BUDGET = 2048
+
+
+def q_doc_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing via a distributed prefix scan:
+    seq_id = (tokens before this doc in doc_id order) // PACK_BUDGET.
+    Range boundaries come from parquet footer stats (at 100 TB the same
+    stats exist per file — no scan); falls back to a narrow aggregate
+    when stats are absent."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        n_tok = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tok": pc.cast(n_tok, pa.int64())}
+        )
+
+    toks = ds.map_batches(tok, batch_format="pyarrow").materialize()
+    out_schema = {
+        "doc_id": pa.int64(),
+        "n_tok": pa.int64(),
+        "seq_id": pa.int64(),
+    }
+    if toks.count() == 0:
+        return rd.from_arrow(
+            pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+        )
+    lo_hi = _meta_col_minmax(sf_dir, "documents", "doc_id")
+    if lo_hi is None:
+        lo_hi = (toks.min("doc_id"), toks.max("doc_id"))
+    lo, span = int(lo_hi[0]), int(lo_hi[1]) - int(lo_hi[0]) + 1
+    nb = n_buckets_for_rows(toks.count())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        b = (ids - lo) * nb // span
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = toks.map_batches(bucketize, batch_format="pyarrow")
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "bucket": t["bucket"].to_numpy(zero_copy_only=False),
+                    "toks": t["n_tok"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("bucket", sort=False)["toks"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(df["bucket"], pa.int64()),
+                "toks": pa.array(df["toks"], pa.int64()),
+            }
+        )
+
+    # O(buckets x partial blocks) rows reach the driver; the fold below
+    # is the prefix step of the scan (tiny, sorted by bucket id)
+    sums = (
+        bucketed.map_batches(
+            sum_partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH
+        )
+        .to_pandas()
+        .groupby("bucket")["toks"]
+        .sum()
+        .sort_index()
+    )
+    offsets = {
+        int(b): int(off)
+        for b, off in zip(sums.index, sums.cumsum() - sums)
+    }
+    offref = ray.put(offsets)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offref)[int(df["bucket"].iloc[0])]
+        df = df.sort_values("doc_id")
+        run_before = off + df["n_tok"].cumsum() - df["n_tok"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tok": df["n_tok"].to_numpy(),
+                "seq_id": (run_before // PACK_BUDGET).to_numpy(),
+            }
+        )
+
+    return _pin_empty(
+        bucketed.groupby("bucket").map_groups(label, batch_format="pandas"),
+        out_schema,
+    )
+
+
+SQL_DOC_PACK_SEQUENCES = f"""
+SELECT doc_id, n_tok, (run - n_tok) // {PACK_BUDGET} AS seq_id
+FROM (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS run
+  FROM (SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tok
+        FROM documents)
+)
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -4815,6 +4958,7 @@ QUERIES = {
     "doc_canonical_pick": q_doc_canonical_pick,
     "doc_top_content": q_doc_top_content,
     "doc_split": q_doc_split,
+    "doc_pack_sequences": q_doc_pack_sequences,
 }
 
 
@@ -4895,4 +5039,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_canonical_pick": SQL_DOC_CANONICAL_PICK,
         "doc_split": SQL_DOC_SPLIT,
         "prepare_corpus": SQL_PREPARE_CORPUS,
+        "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     }

@@ -87,3 +87,24 @@ def test_prepare_corpus_split_matches_doc_split_rule(ray_session, sf_dir):
     split = QUERIES["doc_split"](sf_dir).to_pandas()
     label_of = dict(zip(split["doc_id"], split["split"]))
     assert (prep["doc_id"].map(label_of) == prep["split"]).all()
+
+
+def test_pack_sequences_prefix_scan_invariants(ray_session, sf_dir):
+    """The distributed prefix scan must equal a single-process scan:
+    seq ids are nondecreasing in doc order, start at 0, and match a
+    direct pandas cumsum recomputation (the oracle re-checks via SQL)."""
+    from crawler_ray.pipelines.queries import PACK_BUDGET, QUERIES
+
+    out = (
+        QUERIES["doc_pack_sequences"](sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 500
+    run_before = out["n_tok"].cumsum() - out["n_tok"]
+    expect = (run_before // PACK_BUDGET).to_numpy()
+    assert (out["seq_id"].to_numpy() == expect).all()
+    assert out["seq_id"].iloc[0] == 0
+    assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
+    assert out["seq_id"].nunique() > 1  # the budget actually cuts
