@@ -4758,27 +4758,95 @@ FROM (SELECT doc_id, content_hash, {_SQL_SPLIT_HV} AS hv FROM canon)
 """
 
 
+# ===================================================== prefix scans
+# Distributed prefix scan (global or per-key running totals in id order)
+# without ever holding a whole partition in one worker: range-bucket the
+# narrow rows by the integer id so bucket order == id order; fold
+# per-(key, bucket) sums into exclusive offsets on the driver (O(keys x
+# buckets) scalars); a final per-bucket pass sorts locally and adds its
+# broadcast offset.  No stage holds more than one bucket (rows-aware
+# sizing, ~1M rows each), and only the narrow projection ever moves.
+
+
+def _range_bucketed(
+    sf_dir: str, table: str, narrow: "rd.Dataset", id_col: str
+) -> "rd.Dataset":
+    """Append a range-bucket column monotone in ``id_col``.  Boundaries
+    come from parquet footer stats (at 100 TB the same stats exist per
+    file — no scan); falls back to narrow aggregates when absent."""
+    lo_hi = _meta_col_minmax(sf_dir, table, id_col)
+    if lo_hi is None:
+        lo_hi = (narrow.min(id_col), narrow.max(id_col))
+    lo, span = int(lo_hi[0]), int(lo_hi[1]) - int(lo_hi[0]) + 1
+    nb = n_buckets_for_rows(narrow.count())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        b = (ids - lo) * nb // span
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    return narrow.map_batches(bucketize, batch_format="pyarrow")
+
+
+def _exclusive_offsets(
+    bucketed: "rd.Dataset", keys: tuple, value_col: str | None
+) -> dict:
+    """Prefix step of the scan: ``{(*key_vals, bucket): sum of value
+    over all LOWER buckets of the same key}``.  ``value_col=None``
+    counts rows.  Per-batch partials mean O(keys x buckets x partial
+    blocks) rows reach the driver, never data."""
+    group_cols = list(keys) + ["bucket"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {c: t[c].to_numpy(zero_copy_only=False) for c in group_cols}
+        )
+        df["v"] = (
+            t[value_col].to_numpy(zero_copy_only=False) if value_col else 1
+        )
+        agg = df.groupby(group_cols, sort=False)["v"].sum().reset_index()
+        cols = {c: pa.array(agg[c]) for c in group_cols}
+        cols["v"] = pa.array(agg["v"], pa.int64())
+        return pa.table(cols)
+
+    sums = (
+        bucketed.map_batches(
+            partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH
+        )
+        .to_pandas()
+        .groupby(group_cols, sort=True)["v"]
+        .sum()
+        .reset_index()
+    )
+    offsets: dict = {}
+    grouped = sums.groupby(list(keys), sort=False) if keys else ((None, sums),)
+    for kv, grp in grouped:
+        kt = () if kv is None else (kv if isinstance(kv, tuple) else (kv,))
+        run = 0
+        for b, v in zip(grp["bucket"], grp["v"]):  # sorted by bucket
+            offsets[kt + (int(b),)] = run
+            run += int(v)
+    return offsets
+
+
+def _typed_empty(schema: dict) -> "rd.Dataset":
+    return rd.from_arrow(
+        pa.table({k: pa.array([], t) for k, t in schema.items()})
+    )
+
+
 # ==================================================== sequence packing
 # Greedy contiguous packing for pretraining: documents in doc_id order
 # are concatenated and cut into fixed token-budget sequences, so each
 # doc's sequence id is a pure function of the GLOBAL running token count
-# before it — a distributed prefix scan.  Plan: one narrow (doc_id,
-# n_tok) projection (materialized: 16 B/row — the only state either pass
-# needs, so the text column is scanned exactly once); range-bucket by
-# doc_id so bucket order == id order; per-bucket token sums fold into
-# exclusive prefix offsets on the driver (O(buckets) scalars); a final
-# per-bucket pass sorts locally and adds its broadcast offset.  No stage
-# holds more than one bucket (rows-aware sizing, ~1M rows each) and the
-# text never shuffles.
+# before it.  The (doc_id, n_tok) projection is materialized (16 B/row)
+# so the text column is scanned exactly once and never shuffles.
 PACK_BUDGET = 2048
 
 
 def q_doc_pack_sequences(sf_dir: str):
-    """Token-budget sequence packing via a distributed prefix scan:
-    seq_id = (tokens before this doc in doc_id order) // PACK_BUDGET.
-    Range boundaries come from parquet footer stats (at 100 TB the same
-    stats exist per file — no scan); falls back to a narrow aggregate
-    when stats are absent."""
+    """Token-budget sequence packing via the distributed prefix scan:
+    seq_id = (tokens before this doc in doc_id order) // PACK_BUDGET."""
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -4796,60 +4864,12 @@ def q_doc_pack_sequences(sf_dir: str):
         "seq_id": pa.int64(),
     }
     if toks.count() == 0:
-        return rd.from_arrow(
-            pa.table({k: pa.array([], t) for k, t in out_schema.items()})
-        )
-    lo_hi = _meta_col_minmax(sf_dir, "documents", "doc_id")
-    if lo_hi is None:
-        lo_hi = (toks.min("doc_id"), toks.max("doc_id"))
-    lo, span = int(lo_hi[0]), int(lo_hi[1]) - int(lo_hi[0]) + 1
-    nb = n_buckets_for_rows(toks.count())
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        b = (ids - lo) * nb // span
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    bucketed = toks.map_batches(bucketize, batch_format="pyarrow")
-
-    def sum_partial(t: pa.Table) -> pa.Table:
-        df = (
-            pd.DataFrame(
-                {
-                    "bucket": t["bucket"].to_numpy(zero_copy_only=False),
-                    "toks": t["n_tok"].to_numpy(zero_copy_only=False),
-                }
-            )
-            .groupby("bucket", sort=False)["toks"]
-            .sum()
-            .reset_index()
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(df["bucket"], pa.int64()),
-                "toks": pa.array(df["toks"], pa.int64()),
-            }
-        )
-
-    # O(buckets x partial blocks) rows reach the driver; the fold below
-    # is the prefix step of the scan (tiny, sorted by bucket id)
-    sums = (
-        bucketed.map_batches(
-            sum_partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH
-        )
-        .to_pandas()
-        .groupby("bucket")["toks"]
-        .sum()
-        .sort_index()
-    )
-    offsets = {
-        int(b): int(off)
-        for b, off in zip(sums.index, sums.cumsum() - sums)
-    }
-    offref = ray.put(offsets)
+        return _typed_empty(out_schema)
+    bucketed = _range_bucketed(sf_dir, "documents", toks, "doc_id")
+    offref = ray.put(_exclusive_offsets(bucketed, (), "n_tok"))
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(offref)[int(df["bucket"].iloc[0])]
+        off = ray.get(offref)[(int(df["bucket"].iloc[0]),)]
         df = df.sort_values("doc_id")
         run_before = off + df["n_tok"].cumsum() - df["n_tok"]
         return pd.DataFrame(
@@ -4875,6 +4895,79 @@ FROM (
                CAST(length(text) - length(replace(text, ' ', '')) + 1
                     AS BIGINT) AS n_tok
         FROM documents)
+)
+"""
+
+
+# ==================================================== mixture interleave
+# Deterministic weighted corpus mixing (the training-data "interleave
+# datasets by weight" op): source s with weight w_s contributes its k-th
+# document (doc_id order) at integer position k*MIX_SCALE//w_s, so
+# sorting by (mix_key, source, doc_id) reads the corpus as a weighted
+# round-robin — heavier sources appear proportionally more often per
+# unit of reading order, with zero RNG and exact resume stability.
+# The per-source rank is row_number() OVER (PARTITION BY source) — a
+# distributed per-key prefix COUNT scan that never holds a source's
+# partition in one worker (sources are FEW and HUGE at corpus scale:
+# grouping by source directly would put ~N/n_sources rows in one task).
+MIX_SCALE = 10_000
+
+
+def _mix_weight(source_len) -> "np.ndarray":
+    """Deterministic per-source weight 1..3 (stands in for a user-given
+    mixture table; any broadcastable source->weight map slots in)."""
+    return 1 + source_len % 3
+
+
+def q_doc_mixture_order(sf_dir: str):
+    """Weighted interleave reading order over sources via a per-key
+    distributed prefix count scan (see the block comment above)."""
+    narrow = _read(sf_dir, "documents", ["doc_id", "source"]).materialize()
+    out_schema = {
+        "doc_id": pa.int64(),
+        "source": pa.string(),
+        "src_rank": pa.int64(),
+        "mix_key": pa.int64(),
+    }
+    if narrow.count() == 0:
+        return _typed_empty(out_schema)
+    bucketed = _range_bucketed(sf_dir, "documents", narrow, "doc_id")
+    offref = ray.put(_exclusive_offsets(bucketed, ("source",), None))
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        offs = ray.get(offref)
+        df = df.sort_values("doc_id")
+        base = {s: offs[(s, b)] for s in df["source"].unique()}
+        rank = (
+            df["source"].map(base).to_numpy(dtype=np.int64)
+            + df.groupby("source", sort=False).cumcount().to_numpy()
+            + 1
+        )
+        w = _mix_weight(df["source"].str.len().to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "source": df["source"].to_numpy(),
+                "src_rank": rank,
+                "mix_key": rank * MIX_SCALE // w,
+            }
+        )
+
+    return _pin_empty(
+        bucketed.groupby("bucket").map_groups(label, batch_format="pandas"),
+        out_schema,
+    )
+
+
+SQL_DOC_MIXTURE_ORDER = f"""
+SELECT doc_id, source, rn AS src_rank,
+       rn * {MIX_SCALE} // (1 + length(source) % 3) AS mix_key
+FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS rn
+  FROM documents
 )
 """
 
@@ -4959,6 +5052,7 @@ QUERIES = {
     "doc_top_content": q_doc_top_content,
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_mixture_order": q_doc_mixture_order,
 }
 
 
@@ -5040,4 +5134,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": SQL_DOC_SPLIT,
         "prepare_corpus": SQL_PREPARE_CORPUS,
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+        "doc_mixture_order": SQL_DOC_MIXTURE_ORDER,
     }

@@ -108,3 +108,26 @@ def test_pack_sequences_prefix_scan_invariants(ray_session, sf_dir):
     assert out["seq_id"].iloc[0] == 0
     assert (np.diff(out["seq_id"].to_numpy()) >= 0).all()
     assert out["seq_id"].nunique() > 1  # the budget actually cuts
+
+
+def test_mixture_order_is_weighted_round_robin(ray_session, sf_dir):
+    """Per-source ranks are dense 1..n_s in doc order, and in any prefix
+    of the interleaved order each source's share tracks its weight."""
+    from crawler_ray.pipelines.queries import MIX_SCALE, QUERIES
+
+    out = QUERIES["doc_mixture_order"](sf_dir).to_pandas()
+    assert len(out) == 500
+    for s, grp in out.groupby("source"):
+        g = grp.sort_values("doc_id")
+        assert (g["src_rank"].to_numpy() == np.arange(1, len(g) + 1)).all()
+        w = 1 + len(s) % 3
+        assert (g["mix_key"].to_numpy()
+                == g["src_rank"].to_numpy() * MIX_SCALE // w).all()
+    # weighted fairness: after any cutoff K on mix_key, source s has
+    # floor-ish K*w/MIX_SCALE docs (or all of them) — spot-check one cut
+    cut = int(out["mix_key"].quantile(0.5))
+    taken = out[out["mix_key"] <= cut].groupby("source").size()
+    for s, grp in out.groupby("source"):
+        w = 1 + len(s) % 3
+        want = min(cut * w // MIX_SCALE, len(grp))
+        assert abs(int(taken.get(s, 0)) - want) <= 1
