@@ -71,28 +71,6 @@ def _meta_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
-def _meta_col_minmax(sf_dir: str, name: str, col: str) -> tuple | None:
-    """(min, max) of one column from parquet row-group statistics —
-    O(footers).  None when any row group lacks stats."""
-    try:
-        lo = hi = None
-        for f in _meta_files(sf_dir, name):
-            md = pq.ParquetFile(f).metadata
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    c = g.column(ci)
-                    if c.path_in_schema == col:
-                        st = c.statistics
-                        if st is None or not st.has_min_max:
-                            return None
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-        return None if lo is None else (lo, hi)
-    except Exception:
-        return None
-
-
 def _meta_col_bytes(sf_dir: str, name: str, col: str) -> int | None:
     """Total UNCOMPRESSED bytes of one column, from the parquet footers.
     The volume estimator for derived streams whose row count is data-
@@ -129,6 +107,14 @@ from crawler_ray.stages.combine import (  # noqa: E402
 )
 
 
+def _empty_table(schema: dict) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+
+def _typed_empty(schema: dict) -> "rd.Dataset":
+    return rd.from_arrow(_empty_table(schema))
+
+
 def _pin_empty(ds: "rd.Dataset", schema: dict) -> "rd.Dataset":
     """Swap ZERO-COLUMN empty blocks for typed empty blocks.
 
@@ -139,7 +125,7 @@ def _pin_empty(ds: "rd.Dataset", schema: dict) -> "rd.Dataset":
     This tiny Arrow map fuses into the map_groups operator, so every
     bundle it produces carries the declared schema.  Non-empty blocks
     pass through untouched."""
-    empty = pa.table({k: pa.array([], t) for k, t in schema.items()})
+    empty = _empty_table(schema)
 
     def fix(t: pa.Table) -> pa.Table:
         return empty if t.num_rows == 0 else t
@@ -4768,21 +4754,45 @@ FROM (SELECT doc_id, content_hash, {_SQL_SPLIT_HV} AS hv FROM canon)
 # sizing, ~1M rows each), and only the narrow projection ever moves.
 
 
-def _range_bucketed(
-    sf_dir: str, table: str, narrow: "rd.Dataset", id_col: str
-) -> "rd.Dataset":
+def _range_bucketed(narrow: "rd.Dataset", id_col: str) -> "rd.Dataset":
     """Append a range-bucket column monotone in ``id_col``.  Boundaries
-    come from parquet footer stats (at 100 TB the same stats exist per
-    file — no scan); falls back to narrow aggregates when absent."""
-    lo_hi = _meta_col_minmax(sf_dir, table, id_col)
-    if lo_hi is None:
-        lo_hi = (narrow.min(id_col), narrow.max(id_col))
-    lo, span = int(lo_hi[0]), int(lo_hi[1]) - int(lo_hi[0]) + 1
+    are id quantiles over a systematic per-batch sample, so per-bucket
+    rows stay near-uniform under ANY id distribution (dense, sparse,
+    skewed) and no arithmetic can overflow — correctness never depends
+    on the boundaries (the scan is boundary-invariant; the oracle tests
+    pin it), only balance does.  ``id_col`` must be non-null (checked
+    loudly per batch; a null id has no position in the scan order)."""
     nb = n_buckets_for_rows(narrow.count())
 
+    def sample(t: pa.Table) -> pa.Table:
+        if t[id_col].null_count:
+            raise ValueError(
+                f"prefix scan: null {id_col} values are not supported"
+            )
+        ids = np.sort(t[id_col].to_numpy(zero_copy_only=False))
+        step = max(1, len(ids) // 64)
+        return pa.table({"id": pa.array(ids[::step], pa.int64())})
+
+    samp = (
+        narrow.map_batches(
+            sample, batch_format="pyarrow", batch_size=PARTIAL_BATCH
+        )
+        .to_pandas()["id"]
+        .to_numpy()
+    )
+    bounds = (
+        np.quantile(samp, np.arange(1, nb) / nb)
+        if nb > 1
+        else np.array([])
+    )
+
     def bucketize(t: pa.Table) -> pa.Table:
+        if t[id_col].null_count:
+            raise ValueError(
+                f"prefix scan: null {id_col} values are not supported"
+            )
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        b = (ids - lo) * nb // span
+        b = np.searchsorted(bounds, ids, side="left")
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     return narrow.map_batches(bucketize, batch_format="pyarrow")
@@ -4794,7 +4804,9 @@ def _exclusive_offsets(
     """Prefix step of the scan: ``{(*key_vals, bucket): sum of value
     over all LOWER buckets of the same key}``.  ``value_col=None``
     counts rows.  Per-batch partials mean O(keys x buckets x partial
-    blocks) rows reach the driver, never data."""
+    blocks) rows reach the driver, never data.  Null keys are carried
+    (dropna=False, house convention) and surface as NaN key values —
+    callers that can see null keys must normalize or reject them."""
     group_cols = list(keys) + ["bucket"]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -4804,7 +4816,11 @@ def _exclusive_offsets(
         df["v"] = (
             t[value_col].to_numpy(zero_copy_only=False) if value_col else 1
         )
-        agg = df.groupby(group_cols, sort=False)["v"].sum().reset_index()
+        agg = (
+            df.groupby(group_cols, sort=False, dropna=False)["v"]
+            .sum()
+            .reset_index()
+        )
         cols = {c: pa.array(agg[c]) for c in group_cols}
         cols["v"] = pa.array(agg["v"], pa.int64())
         return pa.table(cols)
@@ -4814,12 +4830,16 @@ def _exclusive_offsets(
             partial, batch_format="pyarrow", batch_size=PARTIAL_BATCH
         )
         .to_pandas()
-        .groupby(group_cols, sort=True)["v"]
+        .groupby(group_cols, sort=True, dropna=False)["v"]
         .sum()
         .reset_index()
     )
     offsets: dict = {}
-    grouped = sums.groupby(list(keys), sort=False) if keys else ((None, sums),)
+    grouped = (
+        sums.groupby(list(keys), sort=False, dropna=False)
+        if keys
+        else ((None, sums),)
+    )
     for kv, grp in grouped:
         kt = () if kv is None else (kv if isinstance(kv, tuple) else (kv,))
         run = 0
@@ -4829,12 +4849,6 @@ def _exclusive_offsets(
     return offsets
 
 
-def _typed_empty(schema: dict) -> "rd.Dataset":
-    return rd.from_arrow(
-        pa.table({k: pa.array([], t) for k, t in schema.items()})
-    )
-
-
 # ==================================================== sequence packing
 # Greedy contiguous packing for pretraining: documents in doc_id order
 # are concatenated and cut into fixed token-budget sequences, so each
@@ -4842,6 +4856,25 @@ def _typed_empty(schema: dict) -> "rd.Dataset":
 # before it.  The (doc_id, n_tok) projection is materialized (16 B/row)
 # so the text column is scanned exactly once and never shuffles.
 PACK_BUDGET = 2048
+
+
+def _pack_label(offref):
+    """Per-bucket labeling stage of the packing scan — module-level so
+    probes/prefix_scan_probe.py pins the PRODUCTION closure, not a copy."""
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offref)[(int(df["bucket"].iloc[0]),)]
+        df = df.sort_values("doc_id")
+        run_before = off + df["n_tok"].cumsum() - df["n_tok"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tok": df["n_tok"].to_numpy(),
+                "seq_id": (run_before // PACK_BUDGET).to_numpy(),
+            }
+        )
+
+    return label
 
 
 def q_doc_pack_sequences(sf_dir: str):
@@ -4865,23 +4898,12 @@ def q_doc_pack_sequences(sf_dir: str):
     }
     if toks.count() == 0:
         return _typed_empty(out_schema)
-    bucketed = _range_bucketed(sf_dir, "documents", toks, "doc_id")
+    bucketed = _range_bucketed(toks, "doc_id")
     offref = ray.put(_exclusive_offsets(bucketed, (), "n_tok"))
-
-    def label(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(offref)[(int(df["bucket"].iloc[0]),)]
-        df = df.sort_values("doc_id")
-        run_before = off + df["n_tok"].cumsum() - df["n_tok"]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_tok": df["n_tok"].to_numpy(),
-                "seq_id": (run_before // PACK_BUDGET).to_numpy(),
-            }
-        )
-
     return _pin_empty(
-        bucketed.groupby("bucket").map_groups(label, batch_format="pandas"),
+        bucketed.groupby("bucket").map_groups(
+            _pack_label(offref), batch_format="pandas"
+        ),
         out_schema,
     )
 
@@ -4919,20 +4941,9 @@ def _mix_weight(source_len) -> "np.ndarray":
     return 1 + source_len % 3
 
 
-def q_doc_mixture_order(sf_dir: str):
-    """Weighted interleave reading order over sources via a per-key
-    distributed prefix count scan (see the block comment above)."""
-    narrow = _read(sf_dir, "documents", ["doc_id", "source"]).materialize()
-    out_schema = {
-        "doc_id": pa.int64(),
-        "source": pa.string(),
-        "src_rank": pa.int64(),
-        "mix_key": pa.int64(),
-    }
-    if narrow.count() == 0:
-        return _typed_empty(out_schema)
-    bucketed = _range_bucketed(sf_dir, "documents", narrow, "doc_id")
-    offref = ray.put(_exclusive_offsets(bucketed, ("source",), None))
+def _mix_label(offref):
+    """Per-bucket rank/interleave stage of the keyed scan — module-level
+    so the probe pins the production closure."""
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         b = int(df["bucket"].iloc[0])
@@ -4954,8 +4965,40 @@ def q_doc_mixture_order(sf_dir: str):
             }
         )
 
+    return label
+
+
+def q_doc_mixture_order(sf_dir: str):
+    """Weighted interleave reading order over sources via a per-key
+    distributed prefix count scan (see the block comment above)."""
+
+    def check(t: pa.Table) -> pa.Table:
+        if t["source"].null_count:
+            raise ValueError(
+                "doc_mixture_order: null source values are not supported;"
+                " fill or filter them first"
+            )
+        return t
+
+    narrow = (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(check, batch_format="pyarrow")
+        .materialize()
+    )
+    out_schema = {
+        "doc_id": pa.int64(),
+        "source": pa.string(),
+        "src_rank": pa.int64(),
+        "mix_key": pa.int64(),
+    }
+    if narrow.count() == 0:
+        return _typed_empty(out_schema)
+    bucketed = _range_bucketed(narrow, "doc_id")
+    offref = ray.put(_exclusive_offsets(bucketed, ("source",), None))
     return _pin_empty(
-        bucketed.groupby("bucket").map_groups(label, batch_format="pandas"),
+        bucketed.groupby("bucket").map_groups(
+            _mix_label(offref), batch_format="pandas"
+        ),
         out_schema,
     )
 

@@ -55,8 +55,11 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     from crawler_ray.pipelines.queries import (
+        MIX_SCALE,
         PACK_BUDGET,
         _exclusive_offsets,
+        _mix_label,
+        _pack_label,
         _pin_empty,
         _range_bucketed,
     )
@@ -79,27 +82,21 @@ def main() -> None:
         rd.range(n_rows).map_batches(gen, batch_format="pyarrow").materialize()
     )
 
-    # ---- global scan: sequence packing ---------------------------------
+    # ---- global scan: sequence packing (the PRODUCTION label closure) ---
     t0 = time.monotonic()
-    bucketed = _range_bucketed("/probe-no-footers", "documents", narrow, "doc_id")
+    bucketed = _range_bucketed(narrow, "doc_id")
     counts = _exclusive_offsets(bucketed, (), None)
     toksum = _exclusive_offsets(bucketed, (), "n_tok")
-    offref = ray.put(toksum)
 
-    def label(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(offref)[(int(df["bucket"].iloc[0]),)]
-        df = df.sort_values("doc_id")
-        run_before = off + df["n_tok"].cumsum() - df["n_tok"]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "seq_id": (run_before // PACK_BUDGET).to_numpy(),
-            }
-        )
-
-    schema = {"doc_id": pa.int64(), "seq_id": pa.int64()}
+    schema = {
+        "doc_id": pa.int64(),
+        "n_tok": pa.int64(),
+        "seq_id": pa.int64(),
+    }
     packed = _pin_empty(
-        bucketed.groupby("bucket").map_groups(label, batch_format="pandas"),
+        bucketed.groupby("bucket").map_groups(
+            _pack_label(ray.put(toksum)), batch_format="pandas"
+        ),
         schema,
     )
     # spot rows spread over the id range (includes both extremes)
@@ -128,28 +125,20 @@ def main() -> None:
     max_bucket = int(sizes.max())
     assert max_bucket <= 2_200_000, f"bucket too fat: {max_bucket}"
 
-    # ---- keyed scan: per-source mixture rank ----------------------------
+    # ---- keyed scan: per-source mixture rank (production closure) -------
     t0 = time.monotonic()
     key_offs = _exclusive_offsets(bucketed, ("source",), None)
-    kref = ray.put(key_offs)
 
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df["bucket"].iloc[0])
-        offs = ray.get(kref)
-        df = df.sort_values("doc_id")
-        base = {s: offs[(s, b)] for s in df["source"].unique()}
-        rn = (
-            df["source"].map(base).to_numpy(dtype=np.int64)
-            + df.groupby("source", sort=False).cumcount().to_numpy()
-            + 1
-        )
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(), "src_rank": rn}
-        )
-
-    rschema = {"doc_id": pa.int64(), "src_rank": pa.int64()}
+    rschema = {
+        "doc_id": pa.int64(),
+        "source": pa.string(),
+        "src_rank": pa.int64(),
+        "mix_key": pa.int64(),
+    }
     ranked = _pin_empty(
-        bucketed.groupby("bucket").map_groups(rank, batch_format="pandas"),
+        bucketed.groupby("bucket").map_groups(
+            _mix_label(ray.put(key_offs)), batch_format="pandas"
+        ),
         rschema,
     )
     rsample = (
@@ -163,6 +152,11 @@ def main() -> None:
     assert (rsample["src_rank"].to_numpy() == ids // 12 + 1).all(), (
         "keyed scan wrong"
     )
+    w = 1 + rsample["source"].str.len().to_numpy(dtype=np.int64) % 3
+    assert (
+        rsample["mix_key"].to_numpy()
+        == rsample["src_rank"].to_numpy() * MIX_SCALE // w
+    ).all(), "mix key wrong"
 
     print(
         json.dumps(

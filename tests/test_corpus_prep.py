@@ -131,3 +131,50 @@ def test_mixture_order_is_weighted_round_robin(ray_session, sf_dir):
         w = 1 + len(s) % 3
         want = min(cut * w // MIX_SCALE, len(grp))
         assert abs(int(taken.get(s, 0)) - want) <= 1
+
+
+def test_range_bucketed_balances_skewed_ids_without_overflow(ray_session):
+    """Quantile boundaries keep buckets balanced under sparse/skewed ids
+    (a value-range formula would put ALL rows in bucket 0 here and its
+    int64 product would wrap at snowflake-scale spans)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.queries import (
+        _exclusive_offsets,
+        _range_bucketed,
+    )
+
+    ids = np.concatenate([np.arange(100_000), [10**18]])
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    ).materialize()
+    bucketed = _range_bucketed(ds, "doc_id")
+    counts = _exclusive_offsets(bucketed, (), None)
+    sizes = np.diff([v for _, v in sorted(counts.items())] + [len(ids)])
+    assert len(sizes) > 1 and sizes.max() <= len(ids) * 0.6
+    df = bucketed.to_pandas().sort_values("doc_id")
+    b = df["bucket"].to_numpy()
+    assert (b >= 0).all() and (np.diff(b) >= 0).all()
+
+
+def test_mixture_order_rejects_null_source(ray_session, tmp_path):
+    """A null source has no weight/partition; the operator must fail
+    loudly at the projection, not KeyError deep inside a worker."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from crawler_ray.pipelines.queries import QUERIES
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "source": pa.array(["a", None]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    with pytest.raises(Exception, match="null source"):
+        QUERIES["doc_mixture_order"](str(tmp_path)).to_pandas()
