@@ -545,6 +545,12 @@ class CrawlEngine:
     def _partial_topb(self, df: pd.DataFrame) -> pa.Table:
         # returns Arrow so the driver-side take_all stays columnar
         # (take_all over pandas blocks converts row-by-row: ~1ms/row)
+        # NOTE: empty frontier blocks pass through this operator untyped
+        # and trigger Ray's per-bundle "RefBundle with a different schema"
+        # warning.  That is a Ray 2.49 internals wart: map_batches never
+        # invokes the UDF on an empty input block (verified empirically),
+        # so no guard here can retype them.  Harmless — downstream
+        # consumers (take_all / bucketed selection) ignore empty blocks.
         df = df.sort_values(["host", "score", "url_hash"], kind="mergesort")
         df = df.groupby("host", sort=False).head(self.budget)
         return pa.Table.from_pandas(df, preserve_index=False)
