@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "prepare_corpus",
     # token-budget sequence packing via the distributed prefix scan
     "doc_pack_sequences",
+    # weighted mixture interleave (per-source rank = keyed prefix scan)
+    "doc_mixture_order",
 ]
 
 
