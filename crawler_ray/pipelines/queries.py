@@ -854,6 +854,47 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
 """
 
 
+# GPT-2-style pre-tokenization, simplified to the RE2-compatible subset
+# (no lookahead, ASCII classes) so Python re and DuckDB's RE2 match the
+# SAME token boundaries: optional leading space + letter-run / digit-run
+# / punct-run, else whitespace-run.  Leftmost-first alternation order is
+# identical in both engines.
+_BPE_RE_SRC = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(_BPE_RE_SRC)
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (the LLM-pipeline complement to the
+    whitespace counter q_doc_token_stats): per-doc subword-ish token
+    count + distinct count from the shared pre-tokenization regex.
+    Zero-shuffle vectorized map; at 100 TB this is the cost model for
+    PACK_BUDGET-style sequence budgeting."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(_BPE_RE)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": toks.map(len).astype(np.int64),
+                "n_distinct_bpe": toks.map(
+                    lambda t: len(set(t))
+                ).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_DOC_BPE_TOKENS = f"""
+SELECT doc_id, len(ts) AS n_bpe_tokens,
+       len(list_distinct(ts)) AS n_distinct_bpe
+FROM (SELECT doc_id,
+             regexp_extract_all(text, '{_BPE_RE_SRC}') AS ts
+      FROM documents)
+"""
+
+
 def q_doc_quality(sf_dir: str):
     """Quality scoring: stopword counts + language-ID by marker-word votes
     with deterministic tie-break (text-analysis family; reference has no SQL
@@ -5096,6 +5137,7 @@ QUERIES = {
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_mixture_order": q_doc_mixture_order,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
 }
 
 
@@ -5178,4 +5220,5 @@ def oracle_sql() -> dict[str, str]:
         "prepare_corpus": SQL_PREPARE_CORPUS,
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
         "doc_mixture_order": SQL_DOC_MIXTURE_ORDER,
+        "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     }
