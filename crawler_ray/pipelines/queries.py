@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools as _functools
 import hashlib
 import re
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -851,6 +852,49 @@ SELECT doc_id, len(ts) AS n_tokens,
        CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT)
          AS total_token_chars
 FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents)
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals (Rae et al. 2021 quality rules):
+    per-doc top-token fraction and distinct-token fraction — the
+    filters that catch boilerplate/spam a stopword score misses.
+    Zero-shuffle vectorized map; floats duck_round-ed on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        n = toks.map(len).astype(np.int64)
+        top = toks.map(
+            lambda t: max(Counter(t).values()) if t else 0
+        ).astype(np.int64)
+        nd = toks.map(lambda t: len(set(t))).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            top_frac = np.where(n > 0, top / n, 0.0)
+            distinct_frac = np.where(n > 0, nd / n, 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "top_token_frac": duck_round(top_frac, 6),
+                "distinct_token_frac": duck_round(distinct_frac, 6),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+SQL_DOC_REPETITION = """
+SELECT doc_id,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS distinct_token_frac
+FROM (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+)
+GROUP BY doc_id
 """
 
 
@@ -5138,6 +5182,7 @@ QUERIES = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_mixture_order": q_doc_mixture_order,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_repetition": q_doc_repetition,
 }
 
 
@@ -5221,4 +5266,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
         "doc_mixture_order": SQL_DOC_MIXTURE_ORDER,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
+        "doc_repetition": SQL_DOC_REPETITION,
     }
