@@ -855,6 +855,83 @@ FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
 """
 
 
+# PII scrubbing — deterministic dirtying (both engines replay it) so
+# the redactor provably does real work on this synthetic corpus: docs
+# with doc_id % 7 == 0 gain an email, % 11 == 0 a phone number.  The
+# patterns are RE2-compatible (no lookaround/backrefs) and re/RE2 share
+# leftmost, non-overlapping scan semantics, so counts and the scrubbed
+# text hash match byte-for-byte.
+_PII_EMAIL_RE_SRC = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE_SRC = r"\+[0-9]{1,2} [0-9]{3}-[0-9]{3,4}-[0-9]+"
+_PII_EMAIL_RE = re.compile(_PII_EMAIL_RE_SRC)
+_PII_PHONE_RE = re.compile(_PII_PHONE_RE_SRC)
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII redaction (corpus-prep compliance stage): count and replace
+    emails/phones with typed placeholders; emit the scrubbed-text md5 so
+    the oracle verifies the EXACT output text, not just counts.
+    Zero-shuffle vectorized map (compiled regexes, pandas str kernels)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        text = df["text"].copy()
+        em = ids % 7 == 0
+        ph = ids % 11 == 0
+        text[em] = (
+            text[em]
+            + " contact: user"
+            + pd.Series(ids[em].astype(str), index=text[em].index)
+            + "@example.com"
+        )
+        text[ph] = (
+            text[ph]
+            + " call +1 555-0100-"
+            + pd.Series(ids[ph].astype(str), index=text[ph].index)
+        )
+        n_emails = text.str.count(_PII_EMAIL_RE).astype(np.int64)
+        scrubbed = text.str.replace(_PII_EMAIL_RE, "<EMAIL>", regex=True)
+        n_phones = scrubbed.str.count(_PII_PHONE_RE).astype(np.int64)
+        scrubbed = scrubbed.str.replace(_PII_PHONE_RE, "<PHONE>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_emails": n_emails,
+                "n_phones": n_phones,
+                "scrubbed_md5": [
+                    hashlib.md5(s.encode()).hexdigest() for s in scrubbed
+                ],
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+SQL_DOC_PII_SCRUB = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL_RE_SRC}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+                regexp_replace(dirty, '{_PII_EMAIL_RE_SRC}', '<EMAIL>', 'g'),
+                '{_PII_PHONE_RE_SRC}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(dirty, '{_PII_EMAIL_RE_SRC}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE_SRC}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 555-0100-' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS dirty
+  FROM documents
+)
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition signals (Rae et al. 2021 quality rules):
     per-doc top-token fraction and distinct-token fraction — the
@@ -5183,6 +5260,7 @@ QUERIES = {
     "doc_mixture_order": q_doc_mixture_order,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_repetition": q_doc_repetition,
+    "doc_pii_scrub": q_doc_pii_scrub,
 }
 
 
@@ -5267,4 +5345,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_order": SQL_DOC_MIXTURE_ORDER,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "doc_repetition": SQL_DOC_REPETITION,
+        "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     }
