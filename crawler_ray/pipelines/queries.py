@@ -5203,7 +5203,9 @@ QUERIES = {
     "doc_simhash_bands": q_doc_simhash_bands,
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
-    "knn_ann_lsh": q_knn_ann_lsh,
+    # the prefix-scan family's window representative (knn_ann_lsh moved
+    # to the tail: the ANN family keeps brute + IVF in the window)
+    "doc_pack_sequences": q_doc_pack_sequences,
     "knn_ann_ivf": q_knn_ann_ivf,
     "emb_label_stats": q_emb_label_stats,
     "url_normalize": q_url_normalize,
@@ -5256,7 +5258,7 @@ QUERIES = {
     "doc_canonical_pick": q_doc_canonical_pick,
     "doc_top_content": q_doc_top_content,
     "doc_split": q_doc_split,
-    "doc_pack_sequences": q_doc_pack_sequences,
+    "knn_ann_lsh": q_knn_ann_lsh,
     "doc_mixture_order": q_doc_mixture_order,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_repetition": q_doc_repetition,
