@@ -665,7 +665,10 @@ LANG_MARKERS = {
     "es": ("el", "la", "de", "que"),
     "id": ("yang", "dan", "di", "untuk"),
 }
-_TOKEN_RE = re.compile(r"\S+")
+# re.ASCII pins \S to RE2's ASCII semantics (DuckDB's '\s+' splitter):
+# Python's default Unicode \s would tokenize NBSP/U+2028-style whitespace
+# differently from every SQL oracle built on string_split_regex.
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 
 def q_doc_exact_dedup(sf_dir: str):
@@ -833,7 +836,11 @@ def q_doc_token_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        # SQL's string_split_regex(trim(''), '\s+') yields [''] — one
+        # empty token — so an empty/whitespace-only doc counts (1, 1, 0)
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE).map(
+            lambda t: t if t else [""]
+        )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -940,20 +947,24 @@ def q_doc_repetition(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
-        n = toks.map(len).astype(np.int64)
-        top = toks.map(
-            lambda t: max(Counter(t).values()) if t else 0
-        ).astype(np.int64)
-        nd = toks.map(lambda t: len(set(t))).astype(np.int64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            top_frac = np.where(n > 0, top / n, 0.0)
-            distinct_frac = np.where(n > 0, nd / n, 0.0)
+        def one(t: list) -> tuple:
+            # DuckDB's string_split_regex(trim(''), '\s+') yields ['']
+            # — ONE empty token — so an empty/whitespace-only doc is
+            # (1, 1, 1) on both sides, not a 0/0 special case
+            if not t:
+                return (1, 1, 1)
+            c = Counter(t)
+            return (len(t), max(c.values()), len(c))
+
+        trip = df["text"].str.strip().str.findall(_TOKEN_RE).map(one)
+        n = trip.map(lambda x: x[0]).to_numpy(np.float64)
+        top = trip.map(lambda x: x[1]).to_numpy(np.float64)
+        nd = trip.map(lambda x: x[2]).to_numpy(np.float64)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "top_token_frac": duck_round(top_frac, 6),
-                "distinct_token_frac": duck_round(distinct_frac, 6),
+                "top_token_frac": duck_round(top / n, 6),
+                "distinct_token_frac": duck_round(nd / n, 6),
             }
         )
 
@@ -981,7 +992,7 @@ GROUP BY doc_id
 # / punct-run, else whitespace-run.  Leftmost-first alternation order is
 # identical in both engines.
 _BPE_RE_SRC = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
-_BPE_RE = re.compile(_BPE_RE_SRC)
+_BPE_RE = re.compile(_BPE_RE_SRC, re.ASCII)  # \s == RE2's ASCII class
 
 
 def q_doc_bpe_tokens(sf_dir: str):
@@ -1025,7 +1036,10 @@ def q_doc_quality(sf_dir: str):
     markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        # [''] for empty docs: SQL split semantics (see q_doc_token_stats)
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE).map(
+            lambda t: t if t else [""]
+        )
         n_stop = toks.map(lambda t: sum(w in stop for w in t)).astype(np.int64)
         counts = {
             k: toks.map(lambda t, m=m: sum(w in m for w in t)).astype(np.int64)
