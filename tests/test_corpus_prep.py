@@ -178,3 +178,36 @@ def test_mixture_order_rejects_null_source(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="null source"):
         QUERIES["doc_mixture_order"](str(tmp_path)).to_pandas()
+
+
+def test_exclusive_offsets_carries_null_keys(ray_session):
+    """House convention (stages/combine.py): a null key is a GROUP, not
+    a row to silently discard — the keyed fold must count it."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from crawler_ray.pipelines.queries import (
+        _exclusive_offsets,
+        _range_bucketed,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["a", None, "a", None]),
+        }
+    )
+    bucketed = _range_bucketed(rd.from_arrow(t).materialize(), "doc_id")
+    offs = _exclusive_offsets(bucketed, ("source",), None)
+    a_buckets = sorted(k for k in offs if isinstance(k[0], str))
+    null_buckets = sorted(
+        (k for k in offs if not isinstance(k[0], str)), key=lambda k: k[-1]
+    )
+    assert a_buckets and null_buckets  # the null key survives the fold
+    # exclusive offsets within each key are nondecreasing from 0
+    for keyed in (a_buckets, null_buckets):
+        vals = [offs[k] for k in keyed]
+        assert vals[0] == 0 and vals == sorted(vals)
+    # the null group really holds its 2 rows (nothing silently dropped)
+    grp = bucketed.to_pandas().groupby("source", dropna=False).size()
+    assert int(grp.get("a", 0)) == 2 and int(grp[grp.index.isna()].sum()) == 2
