@@ -5191,6 +5191,397 @@ FROM (
 """
 
 
+# =================================== anomaly / novelty / LM-perplexity /
+# semantic-dedup additions (round 5b).  Each follows the engine-wide
+# rules: partial-per-batch before any exchange, bucketed combines for
+# high-cardinality keys, broadcast only for provably-bounded sides.
+
+ZSCORE_CUT = 3.0
+
+
+def q_events_zscore(sf_dir: str):
+    """Per-type z-score outlier detection (stream anomaly filter): one
+    tiny (event_type, n, sum, sum-of-squares) aggregate — O(event types)
+    rows, the only driver state — broadcast back over the stream, then a
+    vectorized flag map emits rows with |z| >= ZSCORE_CUT.  Both sides
+    compute sd with the same naive sqrt(E[x^2] - E[x]^2) formula so the
+    only divergence is float summation order (absorbed by duck_round).
+    Zero shuffles of the event stream itself."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(v2=df["value"] ** 2)
+            .groupby("event_type", sort=False, as_index=False)
+            .agg(n=("value", "size"), sv=("value", "sum"), svv=("v2", "sum"))
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sv", alias_name="sv"),
+            Sum("svv", alias_name="svv"),
+        )
+        .to_pandas()  # bounded: one row per event type
+    )
+    m = (stats["sv"] / stats["n"]).to_numpy(np.float64)
+    sd = np.sqrt((stats["svv"] / stats["n"]).to_numpy(np.float64) - m**2)
+    ref = ray.put(
+        {
+            t: (mm, ss)
+            for t, mm, ss in zip(stats["event_type"], m, sd)
+            if ss > 0  # a zero-variance type has no outliers by definition
+        }
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        ms = df["event_type"].map(lambda t: lut.get(t, (np.nan, np.nan))[0])
+        sds = df["event_type"].map(lambda t: lut.get(t, (np.nan, np.nan))[1])
+        with np.errstate(invalid="ignore"):
+            z = (df["value"].to_numpy() - ms.to_numpy(np.float64)) / sds.to_numpy(
+                np.float64
+            )
+        keep = np.abs(z) >= ZSCORE_CUT  # NaN compares False
+        out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
+        out["z"] = duck_round(z[keep.to_numpy() if hasattr(keep, "to_numpy") else keep], 6)
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+SQL_EVENTS_ZSCORE = f"""
+WITH s AS (SELECT event_type, COUNT(*) AS n, SUM(value) AS sv,
+                  SUM(value * value) AS svv
+           FROM events GROUP BY 1),
+st AS (SELECT event_type, sv / n AS m,
+              sqrt(svv / n - (sv / n) * (sv / n)) AS sd FROM s)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - st.m) / st.sd, 6) AS z
+FROM events e JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs((e.value - st.m) / st.sd) >= {ZSCORE_CUT}
+"""
+
+
+def q_doc_ngram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty vs the whole corpus (the RefinedWeb-style
+    diagnostic behind "what fraction of this doc has been seen before"):
+    fraction of a doc's DISTINCT 3-shingles whose earliest corpus
+    occurrence (min doc_id) precedes the doc.  Plan: distinct
+    (doc_id, shingle) stream -> bucketed min-combine per shingle ->
+    shingle-keyed hash join back -> per-doc partial sums -> bucketed
+    per-doc combine.  Two key-bucketed exchanges of narrow rows, no
+    broadcast of the (unbounded) shingle vocabulary, no driver
+    materialization.  Docs with < 3 tokens have no shingles and are
+    absent on both sides (SQL unnest semantics)."""
+    from crawler_ray.stages.join import hash_join
+
+    sh = _doc_shingles_ds(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "shingle": pd.Series([], dtype=object),
+                }
+            )
+        ns = df["shingles"].map(len).to_numpy()
+        flat = (
+            np.concatenate(
+                [np.asarray(list(s), dtype=object) for s in df["shingles"]]
+            )
+            if ns.sum()
+            else np.array([], dtype=object)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), ns),
+                "shingle": flat,
+            }
+        )
+
+    # one row per (doc, distinct shingle); reused by the min-combine AND
+    # as the join's left side — pin it so the corpus tokenizes once
+    rows = sh.map_batches(explode, batch_format="pandas").materialize()
+    firsts = _bucketed_combine(
+        rows, ["shingle"], {"first_doc": ("doc_id", "min")}
+    )
+    joined = hash_join(rows, firsts, "shingle", "shingle")
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        seen = (df["first_doc"] < df["doc_id"]).to_numpy().astype(np.int64)
+        return (
+            df.assign(__seen=seen)
+            .groupby("doc_id", sort=False, as_index=False)
+            .agg(n_shingles=("shingle", "size"), n_seen_before=("__seen", "sum"))
+        )
+
+    agg = _bucketed_combine(
+        joined.map_batches(
+            per_doc_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
+        ),
+        ["doc_id"],
+        {
+            "n_shingles": ("n_shingles", "sum"),
+            "n_seen_before": ("n_seen_before", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            novelty_frac=duck_round(
+                1.0
+                - df["n_seen_before"].to_numpy(np.float64)
+                / df["n_shingles"].to_numpy(np.float64),
+                6,
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOC_NGRAM_NOVELTY = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents),
+idx AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       FROM idx),
+f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       SUM(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_seen_before,
+       ROUND(1.0 - SUM(CASE WHEN f.first_doc < sh.doc_id THEN 1 ELSE 0 END)
+                   * 1.0 / COUNT(*), 6) AS novelty_frac
+FROM sh JOIN f USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document bigram counts (doc_id, w1, bg, n) — batch-local
+    (documents never split across rows), fully vectorized: one flat token
+    array with a same-doc mask marks bigram positions."""
+    cols = {"doc_id": np.int64, "w1": object, "bg": object, "n": np.int64}
+    toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+    if not len(df):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    lens = toks.map(len).to_numpy()
+    if lens.sum() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    ids = np.repeat(df["doc_id"].to_numpy(), lens)
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks if t]
+    )
+    same = ids[:-1] == ids[1:] if len(flat) > 1 else np.array([], bool)
+    pos = np.nonzero(same)[0]
+    if not len(pos):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    w1 = flat[pos]
+    bg = w1 + " " + flat[pos + 1]
+    ex = pd.DataFrame({"doc_id": ids[pos], "w1": w1, "bg": bg})
+    out = (
+        ex.groupby(["doc_id", "w1", "bg"], sort=False)
+        .size()
+        .reset_index(name="n")
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def q_doc_bigram_lm(sf_dir: str):
+    """Corpus bigram language model + per-doc cross-entropy — the CCNet /
+    KenLM-style perplexity quality filter, reduced to an add-one-smoothed
+    bigram model the oracle replays exactly: xent(doc) = -mean over the
+    doc's bigram occurrences of ln((c(w1,w2)+1) / (c_left(w1)+V)).
+    One tokenization pass builds per-doc bigram counts; bucketed combines
+    produce the global bigram and left-context tables; token-keyed hash
+    joins attach them back; a per-doc bucketed combine finishes.  All
+    exchanges are narrow (string key, count) rows — a 100-TB bigram
+    vocabulary (1e9+) never fits a broadcast, so the join path IS the
+    plan, not a fallback (cf. q_doc_tfidf_top_terms' dual path)."""
+    from crawler_ray.stages.join import hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # reused as: gc source, lc source, and join probe side — pin once
+    dbg = ds.map_batches(_doc_bigrams, batch_format="pandas").materialize()
+
+    # vocabulary size over the full token stream (not just bigram lefts:
+    # final tokens of each doc count too) — distinct-combine then count
+    from crawler_ray.stages.combine import bucketed_distinct
+
+    vocab_n = bucketed_distinct(
+        ds.map_batches(_doc_tf, batch_format="pandas"), "token"
+    ).count()
+
+    gc = _bucketed_combine(dbg, ["bg", "w1"], {"c": ("n", "sum")})
+    lc = _bucketed_combine(dbg, ["w1"], {"c_left": ("n", "sum")})
+    stats = hash_join(gc, lc, "w1", "w1").drop_columns(["w1"])
+    joined = hash_join(dbg, stats, "bg", "bg")
+
+    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        logp = n * np.log(
+            (df["c"].to_numpy(np.float64) + 1.0)
+            / (df["c_left"].to_numpy(np.float64) + float(vocab_n))
+        )
+        return (
+            df.assign(__lp=logp, __n=df["n"].astype(np.int64))
+            .groupby("doc_id", sort=False, as_index=False)
+            .agg(n_bigrams=("__n", "sum"), lp=("__lp", "sum"))
+        )
+
+    agg = _bucketed_combine(
+        joined.map_batches(
+            per_doc_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
+        ),
+        ["doc_id"],
+        {"n_bigrams": ("n_bigrams", "sum"), "lp": ("lp", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bigrams": df["n_bigrams"].astype(np.int64),
+                "xent": duck_round(
+                    -df["lp"].to_numpy(np.float64)
+                    / df["n_bigrams"].to_numpy(np.float64),
+                    6,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOC_BIGRAM_LM = """
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents),
+idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+bg0 AS (SELECT doc_id, ts[i] AS w1, ts[i] || ' ' || ts[i+1] AS bg FROM idx),
+dbg AS (SELECT doc_id, w1, bg, COUNT(*) AS n FROM bg0 GROUP BY 1, 2, 3),
+gc AS (SELECT bg, SUM(n) AS c FROM dbg GROUP BY 1),
+lc AS (SELECT w1, SUM(n) AS c_left FROM dbg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS v
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE trim(text) <> ''))
+SELECT d.doc_id, SUM(d.n)::BIGINT AS n_bigrams,
+       ROUND(-SUM(d.n * ln((gc.c + 1.0) / (lc.c_left + v.v))) / SUM(d.n), 6)
+         AS xent
+FROM dbg d JOIN gc USING (bg) JOIN lc USING (w1), v
+GROUP BY d.doc_id
+"""
+
+
+# SemDeDup near-dup cosine cut.  This corpus' embeddings are weakly
+# similar (max pairwise cosine ~0.44 at sf0.01), so the cut sits where
+# real clusters of semantic near-dups land for THIS data; the operator is
+# threshold-agnostic.
+SEMDEDUP_COSINE = 0.30
+
+
+def q_emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means partitions
+    the embedding space (the same seeded coarse quantizer as the IVF
+    index), then near-duplicate pruning runs WITHIN clusters only — each
+    vector is marked a duplicate iff an earlier (lower vec_id) member of
+    its cluster sits within SEMDEDUP_COSINE, collapsing into the EARLIEST
+    such member.  The cluster partition bounds the quadratic term at
+    O((N/K)^2) rows per group; at corpus scale K grows with N (the
+    paper's prescription) so groups stay worker-sized, and the
+    within-group matmul runs in fixed-size chunks.  Output: every vector
+    with (cluster, dup_of, is_dup); dup_of = -1 for keepers."""
+    from crawler_ray.stages.ann import _kmeans
+
+    st = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 256)],
+    )
+    C = _kmeans(_emb_matrix(st), KMEANS_CLUSTERS, iters=KMEANS_ITERS)
+    ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        X = _emb_matrix(t)
+        d = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(-1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(d.argmin(1).astype(np.int64)),
+                "embedding": t["embedding"],
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy(np.int64)
+        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(g)
+        dup_of = np.full(n, -1, np.int64)
+        cols = np.arange(n)
+        CHUNK = 1024
+        for lo in range(1, n, CHUNK):  # row 0 is always a keeper
+            hi = min(lo + CHUNK, n)
+            sims = Xn[lo:hi] @ Xn.T  # [chunk, n]
+            earlier = cols[None, :] < (lo + np.arange(hi - lo))[:, None]
+            m = (sims >= SEMDEDUP_COSINE) & earlier
+            has = m.any(axis=1)
+            first = m.argmax(axis=1)  # ids ascend, so argmax = min vec_id
+            dup_of[lo:hi][has] = ids[first[has]]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "dup_of": dup_of,
+                "is_dup": dup_of >= 0,
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas"
+    )
+
+
+@_functools.lru_cache(maxsize=1)
+def _sql_emb_semdedup() -> str:
+    """Full-SQL SemDeDup replay: the shared Lloyd CTE chain assigns every
+    vector, then a within-cluster self-join takes MIN(earlier vec_id with
+    cosine >= cut) per vector — value-exact vs the engine."""
+    init_vals, lloyd_sql = _lloyd_ctes(KMEANS_CLUSTERS, KMEANS_ITERS)
+    return f"""
+WITH smp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 256),
+init(cl, vid) AS (VALUES {init_vals}),
+cent0 AS (SELECT i.cl, s.v AS c FROM init i JOIN smp s ON s.vec_id = i.vid),
+{lloyd_sql},
+sd_asg AS (
+  SELECT vec_id, cl AS cluster, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cl,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.embedding::DOUBLE[], c.c),
+                                       c.cl) AS rn
+    FROM embeddings e, cent{KMEANS_ITERS} c) WHERE rn = 1),
+sd_dup AS (
+  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+  FROM sd_asg a JOIN sd_asg b
+    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+   AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       >= {SEMDEDUP_COSINE}
+  GROUP BY a.vec_id)
+SELECT sd_asg.vec_id, sd_asg.cluster,
+       COALESCE(sd_dup.dup_of, -1) AS dup_of,
+       sd_dup.dup_of IS NOT NULL AS is_dup
+FROM sd_asg LEFT JOIN sd_dup USING (vec_id)
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -5236,23 +5627,30 @@ QUERIES = {
     "doc_heavy_tokens": q_doc_heavy_tokens,
     "doc_tfidf_top_terms": q_doc_tfidf_top_terms,
     "emb_kmeans_assign": q_emb_kmeans_assign,
-    "events_sliding_window": q_events_sliding_window,
-    "customer_no_events": q_customer_no_events,
+    # round-5b family representatives (anomaly detection, novelty,
+    # LM perplexity, semantic dedup) — their same-family siblings with a
+    # captured representative moved to the tail
+    "events_zscore": q_events_zscore,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
+    "doc_bigram_lm": q_doc_bigram_lm,
+    "emb_semdedup": q_emb_semdedup,
     "lineitem_bloom_semijoin": q_lineitem_bloom_semijoin,
     "graph_pagerank": q_graph_pagerank,
     "events_window_rank": q_events_window_rank,
     "lineitem_rollup": q_lineitem_rollup,
-    "events_pivot": q_events_pivot,
     "part_fuzzy_pairs": q_part_fuzzy_pairs,
     "doc_bm25_topk": q_doc_bm25_topk,
     "media_phash_dups": q_media_phash_dups,
-    "doc_clean": q_doc_clean,
     "doc_topq_filter": q_doc_topq_filter,
     "doc_triangles": q_doc_triangles,
     "events_funnel": q_events_funnel,
     "span_boilerplate": q_span_boilerplate,
     # ---- entry 51+ (driver capture window ends above; all still
     # oracle-tested in-repo): family variants with a captured sibling
+    "events_sliding_window": q_events_sliding_window,
+    "customer_no_events": q_customer_no_events,
+    "events_pivot": q_events_pivot,
+    "doc_clean": q_doc_clean,
     "top_orders": q_top_orders,
     "mktsegment_revenue": q_mktsegment_revenue,
     "events_by_type": q_events_by_type,
@@ -5362,4 +5760,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_pii_scrub": SQL_DOC_PII_SCRUB,
+        "events_zscore": SQL_EVENTS_ZSCORE,
+        "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
+        "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
+        "emb_semdedup": _sql_emb_semdedup(),
     }

@@ -1,0 +1,118 @@
+"""Planted-case semantics for the round-5b operators (z-score outliers,
+n-gram novelty, bigram-LM cross-entropy, SemDeDup); value-exact oracle
+compares run in test_oracle.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table: pa.Table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def test_zscore_flags_planted_outlier(ray_session, tmp_path):
+    """99 unit values + one spike: only the spike is flagged, with the
+    naive-formula z; a zero-variance type emits nothing."""
+    vals = [1.0] * 99 + [100.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(200), pa.int64()),
+            "event_type": pa.array(["a"] * 100 + ["flat"] * 100),
+            "value": pa.array(vals + [7.0] * 100, pa.float64()),
+        }
+    )
+    _write(tmp_path, "events", t)
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["events_zscore"](str(tmp_path)).to_pandas()
+    assert list(out["event_id"]) == [99]
+    v = np.asarray(vals)
+    z = (100.0 - v.mean()) / np.sqrt((v**2).mean() - v.mean() ** 2)
+    assert abs(out["z"].iloc[0] - round(z, 6)) < 1e-9
+    assert not (out["event_type"] == "flat").any()
+
+
+def test_ngram_novelty_planted(ray_session, tmp_path):
+    """doc 1 is all-novel; doc 2 shares one of its two shingles with
+    doc 1; a doc under 3 tokens emits nothing."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d", "a b c x", "too short"]),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = (
+        QUERIES["doc_ngram_novelty"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_shingles"] == 2 and out.loc[1, "n_seen_before"] == 0
+    assert out.loc[1, "novelty_frac"] == 1.0
+    assert out.loc[2, "n_shingles"] == 2 and out.loc[2, "n_seen_before"] == 1
+    assert out.loc[2, "novelty_frac"] == 0.5
+
+
+def test_bigram_lm_hand_case(ray_session, tmp_path):
+    """Two tiny docs; xent recomputed by hand from the add-one-smoothed
+    model.  Corpus: doc1 'a b a b' (bigrams ab, ba, ab), doc2 'a b c'
+    (ab, bc).  V=3; c(a b)=3 across docs, c(b a)=1, c(b c)=1;
+    c_left(a)=3, c_left(b)=2."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "a b c"]),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = (
+        QUERIES["doc_bigram_lm"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    V = 3.0
+    c_ab, c_ba, c_bc = 3.0, 1.0, 1.0
+    cl_a, cl_b = 3.0, 2.0
+    lp_ab = np.log((c_ab + 1) / (cl_a + V))
+    lp_ba = np.log((c_ba + 1) / (cl_b + V))
+    lp_bc = np.log((c_bc + 1) / (cl_b + V))
+    assert out.loc[1, "n_bigrams"] == 3
+    assert abs(out.loc[1, "xent"] - round(-(2 * lp_ab + lp_ba) / 3, 6)) < 1e-9
+    assert out.loc[2, "n_bigrams"] == 2
+    assert abs(out.loc[2, "xent"] - round(-(lp_ab + lp_bc) / 2, 6)) < 1e-9
+
+
+def test_semdedup_planted_exact_duplicate(ray_session, tmp_path, sf_dir):
+    """Appending an exact copy of an existing vector (higher id) marks the
+    copy a duplicate in the same cluster, collapsing to an EARLIER id;
+    keepers carry dup_of == -1 and every dup_of precedes its row."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    copy = t.slice(0, 1).to_pydict()
+    copy["vec_id"] = [10_000]
+    _write(tmp_path, "embeddings", pa.concat_tables(
+        [t, pa.Table.from_pydict(copy, schema=t.schema)]
+    ))
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = (
+        QUERIES["emb_semdedup"](str(tmp_path))
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    planted = out.loc[10_000]
+    orig = out.loc[t["vec_id"][0].as_py()]
+    assert bool(planted["is_dup"]) and planted["dup_of"] < 10_000
+    assert planted["cluster"] == orig["cluster"]
+    dups = out[out["is_dup"]]
+    assert (dups["dup_of"] < dups.index.to_numpy()).all()
+    assert (out.loc[~out["is_dup"], "dup_of"] == -1).all()
