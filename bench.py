@@ -117,6 +117,15 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     # weighted mixture interleave (per-source rank = keyed prefix scan)
     "doc_mixture_order",
+    # per-type z-score outliers (O(types) broadcast stats, stream never
+    # shuffles)
+    "events_zscore",
+    # n-gram novelty: bucketed min-combine per shingle + shingle-keyed join
+    "doc_ngram_novelty",
+    # bigram-LM cross-entropy: narrow (key, count) exchanges only
+    "doc_bigram_lm",
+    # SemDeDup: k-means partition + within-cluster chunked cosine dedup
+    "emb_semdedup",
 ]
 
 

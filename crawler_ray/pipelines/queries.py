@@ -5518,35 +5518,42 @@ def q_emb_semdedup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id", kind="mergesort")
-        ids = g["vec_id"].to_numpy(np.int64)
-        X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        n = len(g)
-        dup_of = np.full(n, -1, np.int64)
-        cols = np.arange(n)
-        CHUNK = 1024
-        for lo in range(1, n, CHUNK):  # row 0 is always a keeper
-            hi = min(lo + CHUNK, n)
-            sims = Xn[lo:hi] @ Xn.T  # [chunk, n]
-            earlier = cols[None, :] < (lo + np.arange(hi - lo))[:, None]
-            m = (sims >= SEMDEDUP_COSINE) & earlier
-            has = m.any(axis=1)
-            first = m.argmax(axis=1)  # ids ascend, so argmax = min vec_id
-            dup_of[lo:hi][has] = ids[first[has]]
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster": g["cluster"].to_numpy(np.int64),
-                "dup_of": dup_of,
-                "is_dup": dup_of >= 0,
-            }
-        )
-
     return assigned.groupby("cluster").map_groups(
-        dedup_group, batch_format="pandas"
+        _semdedup_group, batch_format="pandas"
+    )
+
+
+def _semdedup_group(g: pd.DataFrame, threshold: float | None = None) -> pd.DataFrame:
+    """Within-cluster SemDeDup resolution (shared by q_emb_semdedup and
+    probes/corpus_lm_probe.py): mark each row a duplicate of the EARLIEST
+    (min vec_id) cluster member within the cosine threshold.  The matmul
+    runs in fixed-size chunks so peak memory is CHUNK x |group| floats,
+    not |group|^2."""
+    if threshold is None:
+        threshold = SEMDEDUP_COSINE
+    g = g.sort_values("vec_id", kind="mergesort")
+    ids = g["vec_id"].to_numpy(np.int64)
+    X = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n = len(g)
+    dup_of = np.full(n, -1, np.int64)
+    cols = np.arange(n)
+    CHUNK = 1024
+    for lo in range(1, n, CHUNK):  # row 0 is always a keeper
+        hi = min(lo + CHUNK, n)
+        sims = Xn[lo:hi] @ Xn.T  # [chunk, n]
+        earlier = cols[None, :] < (lo + np.arange(hi - lo))[:, None]
+        m = (sims >= threshold) & earlier
+        has = m.any(axis=1)
+        first = m.argmax(axis=1)  # ids ascend, so argmax = min vec_id
+        dup_of[lo:hi][has] = ids[first[has]]
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy(np.int64),
+            "dup_of": dup_of,
+            "is_dup": dup_of >= 0,
+        }
     )
 
 
