@@ -5363,7 +5363,14 @@ GROUP BY sh.doc_id
 def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
     """Per-document bigram counts (doc_id, w1, bg, n) — batch-local
     (documents never split across rows), fully vectorized: one flat token
-    array with a same-doc mask marks bigram positions."""
+    array with a same-doc mask marks bigram positions.
+
+    Each document's FINAL token additionally emits a sentinel row with
+    bg='' and n=0 (tokens are \\S+, so '' is never a real bigram key):
+    the w1 column of the full stream then covers EVERY corpus token,
+    letting the vocabulary-size distinct run off this same pass instead
+    of tokenizing the corpus a second time.  Consumers of real bigrams
+    filter bg != '' (zero rows contribute nothing to any count)."""
     cols = {"doc_id": np.int64, "w1": object, "bg": object, "n": np.int64}
     toks = df["text"].str.strip().str.findall(_TOKEN_RE)
     if not len(df):
@@ -5377,18 +5384,25 @@ def _doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
     )
     same = ids[:-1] == ids[1:] if len(flat) > 1 else np.array([], bool)
     pos = np.nonzero(same)[0]
-    if not len(pos):
-        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
-    w1 = flat[pos]
-    bg = w1 + " " + flat[pos + 1]
-    ex = pd.DataFrame({"doc_id": ids[pos], "w1": w1, "bg": bg})
+    ex = pd.DataFrame({"doc_id": ids[pos], "w1": flat[pos],
+                       "bg": flat[pos] + " " + flat[pos + 1]})
     out = (
         ex.groupby(["doc_id", "w1", "bg"], sort=False)
         .size()
         .reset_index(name="n")
     )
     out["n"] = out["n"].astype(np.int64)
-    return out
+    # sentinel rows: one per non-empty doc, carrying its final token
+    last = np.cumsum(lens[lens > 0]) - 1
+    fin = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy()[lens > 0],
+            "w1": flat[last],
+            "bg": "",
+            "n": np.zeros(int((lens > 0).sum()), np.int64),
+        }
+    )
+    return pd.concat([out, fin], ignore_index=True)
 
 
 def q_doc_bigram_lm(sf_dir: str):
@@ -5405,16 +5419,18 @@ def q_doc_bigram_lm(sf_dir: str):
     from crawler_ray.stages.join import hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    # reused as: gc source, lc source, and join probe side — pin once
-    dbg = ds.map_batches(_doc_bigrams, batch_format="pandas").materialize()
-
-    # vocabulary size over the full token stream (not just bigram lefts:
-    # final tokens of each doc count too) — distinct-combine then count
+    # reused as: vocab source, gc source, lc source, and join probe side —
+    # pin once so the corpus tokenizes exactly once
     from crawler_ray.stages.combine import bucketed_distinct
 
-    vocab_n = bucketed_distinct(
-        ds.map_batches(_doc_tf, batch_format="pandas"), "token"
-    ).count()
+    dbg_all = ds.map_batches(_doc_bigrams, batch_format="pandas").materialize()
+    # vocabulary size: w1 of the full stream covers every corpus token
+    # (the bg='' sentinel rows carry each doc's final token)
+    vocab_n = bucketed_distinct(dbg_all, "w1").count()
+    dbg = dbg_all.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["bg"], "")),
+        batch_format="pyarrow",
+    )
 
     gc = _bucketed_combine(dbg, ["bg", "w1"], {"c": ("n", "sum")})
     lc = _bucketed_combine(dbg, ["w1"], {"c_left": ("n", "sum")})
