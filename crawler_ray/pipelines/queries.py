@@ -5605,6 +5605,145 @@ FROM sd_asg LEFT JOIN sd_dup USING (vec_id)
 """
 
 
+def q_events_distinct_users(sf_dir: str):
+    """EXACT distinct count per group at scale (the companion to the
+    approximate event_user_hll): per-batch pair dedup -> one bucketed
+    distinct exchange of (event_type, user_id) pairs -> per-batch counts
+    -> tiny final groupby.  The classic two-level plan that keeps any
+    single task's hash table at O(pairs/bucket) instead of O(all users
+    of a hot type) — COUNT(DISTINCT) via groupby().aggregate() would
+    hold every distinct user of a type in one reduce."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = _bucketed_combine(
+        ds.map_batches(partial, batch_format="pandas", batch_size=PARTIAL_BATCH),
+        ["event_type", "user_id"],
+        {"n": ("user_id", "size")},
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("event_type", sort=False, as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+
+    return (
+        pairs.map_batches(
+            count_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# snapshot-diff perturbation rule (both engines replay it exactly, like
+# doc_pii_scrub's dirtying rule): the "new" snapshot drops ids % 17 == 0,
+# revises text of surviving ids % 13 == 0, and adds one new doc (id +
+# offset) per id % 19 == 0.
+DIFF_ADD_OFFSET = 1_000_000
+
+
+def q_doc_snapshot_diff(sf_dir: str):
+    """Snapshot diff (dataset-versioning / incremental-recrawl primitive):
+    compare two table versions and emit (doc_id, status) for added /
+    removed / changed rows, dropping the unchanged bulk.  Join-free plan:
+    both snapshots stream as narrow (doc_id, side flags, content md5)
+    rows into ONE bucketed combine whose per-doc aggregate (side counts +
+    hash min/max) decides the status — the exchange carries two rows per
+    doc max, and no side is ever broadcast or collected."""
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "is_base": np.ones(len(df), np.int64),
+                "is_new": np.zeros(len(df), np.int64),
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
+            }
+        )
+
+    def new_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ids % 17 != 0
+        text = df["text"].copy()
+        rev = keep & (ids % 13 == 0)
+        text[rev] = text[rev] + " [rev2]"
+        surv = pd.DataFrame({"doc_id": ids[keep], "t": text[keep]})
+        add_src = ids[ids % 19 == 0]
+        added = pd.DataFrame(
+            {
+                "doc_id": add_src + DIFF_ADD_OFFSET,
+                "t": ["new doc " + str(i) for i in add_src],
+            }
+        )
+        out = pd.concat([surv, added], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].astype(np.int64),
+                "is_base": np.zeros(len(out), np.int64),
+                "is_new": np.ones(len(out), np.int64),
+                "h": [hashlib.md5(t.encode()).hexdigest() for t in out["t"]],
+            }
+        )
+
+    both = base.map_batches(base_rows, batch_format="pandas").union(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            new_rows, batch_format="pandas"
+        )
+    )
+    agg = _bucketed_combine(
+        both,
+        ["doc_id"],
+        {
+            "nb": ("is_base", "sum"),
+            "nn": ("is_new", "sum"),
+            "hmin": ("h", "min"),
+            "hmax": ("h", "max"),
+        },
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            df["nn"] == 0,
+            "removed",
+            np.where(df["nb"] == 0, "added", "changed"),
+        )
+        keep = (df["nn"] == 0) | (df["nb"] == 0) | (df["hmin"] != df["hmax"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "status": status}
+        )[keep.to_numpy()]
+
+    return agg.map_batches(resolve, batch_format="pandas")
+
+
+SQL_DOC_SNAPSHOT_DIFF = f"""
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFFSET}, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN b.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM documents b FULL OUTER JOIN newsnap n ON b.doc_id = n.doc_id
+WHERE b.doc_id IS NULL OR n.doc_id IS NULL OR b.text <> n.text
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -5698,6 +5837,8 @@ QUERIES = {
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_repetition": q_doc_repetition,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "events_distinct_users": q_events_distinct_users,
+    "doc_snapshot_diff": q_doc_snapshot_diff,
 }
 
 
@@ -5787,4 +5928,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
         "emb_semdedup": _sql_emb_semdedup(),
+        "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+        "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
     }

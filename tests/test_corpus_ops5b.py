@@ -91,6 +91,54 @@ def test_bigram_lm_hand_case(ray_session, tmp_path):
     assert abs(out.loc[2, "xent"] - round(-(lp_ab + lp_bc) / 2, 6)) < 1e-9
 
 
+def test_distinct_users_planted(ray_session, tmp_path):
+    """Duplicated (type, user) pairs collapse; counts are exact."""
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b", "b", "b"]),
+            "user_id": pa.array([1, 1, 2, 1, 2, 3], pa.int64()),
+        }
+    )
+    _write(tmp_path, "events", t)
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = (
+        QUERIES["events_distinct_users"](str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert out.loc["a", "n_users"] == 2 and out.loc["b", "n_users"] == 3
+
+
+def test_snapshot_diff_planted(ray_session, tmp_path):
+    """One id per status: 17 removed, 13 changed, 19 sources an added row,
+    1 unchanged (absent); 221 = 13*17 is removed (removal wins)."""
+    ids = [1, 13, 17, 19, 221]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"text {i}" for i in ids]),
+        }
+    )
+    _write(tmp_path, "documents", t)
+    from crawler_ray.pipelines.queries import DIFF_ADD_OFFSET, QUERIES
+
+    out = (
+        QUERIES["doc_snapshot_diff"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .sort_index()
+    )
+    assert out.to_dict() == {
+        13: "changed",
+        17: "removed",
+        221: "removed",
+        19 + DIFF_ADD_OFFSET: "added",
+    }
+
+
 def test_semdedup_planted_exact_duplicate(ray_session, tmp_path, sf_dir):
     """Appending an exact copy of an existing vector (higher id) marks the
     copy a duplicate in the same cluster, collapsing to an EARLIER id;
