@@ -5270,14 +5270,15 @@ def q_doc_ngram_novelty(sf_dir: str):
     diagnostic behind "what fraction of this doc has been seen before"):
     fraction of a doc's DISTINCT 3-shingles whose earliest corpus
     occurrence (min doc_id) precedes the doc.  Plan: distinct
-    (doc_id, shingle) stream -> bucketed min-combine per shingle ->
-    shingle-keyed hash join back -> per-doc partial sums -> bucketed
-    per-doc combine.  Two key-bucketed exchanges of narrow rows, no
+    (doc_id, shingle) stream -> ONE shingle-keyed bucket exchange (a
+    shingle's rows co-locate, so first_doc and the seen flags resolve
+    inside the bucket, which emits per-doc partial sums) -> bucketed
+    per-doc combine.  The big stream shuffles once; no join, no
     broadcast of the (unbounded) shingle vocabulary, no driver
-    materialization.  Docs with < 3 tokens have no shingles and are
-    absent on both sides (SQL unnest semantics)."""
-    from crawler_ray.stages.join import hash_join
-
+    materialization.  Bucket count is sized by estimated shingle volume
+    (rows-aware raw-stream policy, stages/combine.py).  Docs with < 3
+    tokens have no shingles and are absent on both sides (SQL unnest
+    semantics)."""
     sh = _doc_shingles_ds(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -5303,16 +5304,21 @@ def q_doc_ngram_novelty(sf_dir: str):
             }
         )
 
-    # one row per (doc, distinct shingle); reused by the min-combine AND
-    # as the join's left side — pin it so the corpus tokenizes once
-    rows = sh.map_batches(explode, batch_format="pandas").materialize()
-    firsts = _bucketed_combine(
-        rows, ["shingle"], {"first_doc": ("doc_id", "min")}
-    )
-    joined = hash_join(rows, firsts, "shingle", "shingle")
+    rows = sh.map_batches(explode, batch_format="pandas")
 
-    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
-        seen = (df["first_doc"] < df["doc_id"]).to_numpy().astype(np.int64)
+    # estimated distinct (doc, shingle) rows ~ token count ~ bytes/6
+    n_buckets = n_buckets_for_rows(
+        (_meta_col_bytes(sf_dir, "documents", "text") or 0) // 6 or None
+    )
+    mask = np.uint64(n_buckets - 1)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["shingle"], index=False).to_numpy()
+        return df.assign(__b=(h & mask).astype(np.int64))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("shingle", sort=False)["doc_id"].transform("min")
+        seen = (first.to_numpy() < df["doc_id"].to_numpy()).astype(np.int64)
         return (
             df.assign(__seen=seen)
             .groupby("doc_id", sort=False, as_index=False)
@@ -5320,9 +5326,11 @@ def q_doc_ngram_novelty(sf_dir: str):
         )
 
     agg = _bucketed_combine(
-        joined.map_batches(
-            per_doc_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
-        ),
+        rows.map_batches(
+            bucketize, batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas"),
         ["doc_id"],
         {
             "n_shingles": ("n_shingles", "sum"),
