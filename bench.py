@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "doc_bigram_lm",
     # SemDeDup: k-means partition + within-cluster chunked cosine dedup
     "emb_semdedup",
+    # exact COUNT(DISTINCT) per group via a two-level distinct exchange
+    "events_distinct_users",
+    # join-free snapshot diff (added/removed/changed in one combine)
+    "doc_snapshot_diff",
 ]
 
 

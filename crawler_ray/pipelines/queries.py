@@ -3143,6 +3143,8 @@ def q_emb_kmeans_assign(sf_dir: str):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 256)],
     )
+    if len(st) == 0:  # empty corpus: no sample to train on
+        return _typed_empty({"vec_id": pa.int64(), "cluster": pa.int64()})
     C = _kmeans(_emb_matrix(st), KMEANS_CLUSTERS, iters=KMEANS_ITERS)
     ref = ray.put(C)
 
@@ -5226,27 +5228,34 @@ def q_events_zscore(sf_dir: str):
         )
         .to_pandas()  # bounded: one row per event type
     )
+    if not len(stats):  # empty stream: Ray yields a zero-column frame
+        return _typed_empty(
+            {
+                "event_id": pa.int64(),
+                "event_type": pa.string(),
+                "value": pa.float64(),
+                "z": pa.float64(),
+            }
+        )
     m = (stats["sv"] / stats["n"]).to_numpy(np.float64)
     sd = np.sqrt((stats["svv"] / stats["n"]).to_numpy(np.float64) - m**2)
+    ok = sd > 0  # a zero-variance type has no outliers by definition
     ref = ray.put(
-        {
-            t: (mm, ss)
-            for t, mm, ss in zip(stats["event_type"], m, sd)
-            if ss > 0  # a zero-variance type has no outliers by definition
-        }
+        (
+            dict(zip(stats["event_type"][ok], m[ok])),
+            dict(zip(stats["event_type"][ok], sd[ok])),
+        )
     )
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(ref)
-        ms = df["event_type"].map(lambda t: lut.get(t, (np.nan, np.nan))[0])
-        sds = df["event_type"].map(lambda t: lut.get(t, (np.nan, np.nan))[1])
+        m_lut, sd_lut = ray.get(ref)
+        ms = df["event_type"].map(m_lut).to_numpy(np.float64)
+        sds = df["event_type"].map(sd_lut).to_numpy(np.float64)
         with np.errstate(invalid="ignore"):
-            z = (df["value"].to_numpy() - ms.to_numpy(np.float64)) / sds.to_numpy(
-                np.float64
-            )
-        keep = np.abs(z) >= ZSCORE_CUT  # NaN compares False
+            z = (df["value"].to_numpy() - ms) / sds
+        keep = np.abs(z) >= ZSCORE_CUT  # NaN (missing type) compares False
         out = df.loc[keep, ["event_id", "event_type", "value"]].copy()
-        out["z"] = duck_round(z[keep.to_numpy() if hasattr(keep, "to_numpy") else keep], 6)
+        out["z"] = duck_round(z[keep], 6)
         return out
 
     return ds.map_batches(flag, batch_format="pandas")
@@ -5418,38 +5427,49 @@ def q_doc_bigram_lm(sf_dir: str):
     KenLM-style perplexity quality filter, reduced to an add-one-smoothed
     bigram model the oracle replays exactly: xent(doc) = -mean over the
     doc's bigram occurrences of ln((c(w1,w2)+1) / (c_left(w1)+V)).
-    One tokenization pass builds per-doc bigram counts; bucketed combines
-    produce the global bigram and left-context tables; token-keyed hash
-    joins attach them back; a per-doc bucketed combine finishes.  All
-    exchanges are narrow (string key, count) rows — a 100-TB bigram
-    vocabulary (1e9+) never fits a broadcast, so the join path IS the
-    plan, not a fallback (cf. q_doc_tfidf_top_terms' dual path)."""
-    from crawler_ray.stages.join import hash_join
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    # reused as: vocab source, gc source, lc source, and join probe side —
-    # pin once so the corpus tokenizes exactly once
+    One tokenization pass builds per-doc bigram counts; the stream then
+    moves through exactly TWO key-bucketed exchanges — by w1 (all rows of
+    a left context co-locate, so c_left(w1) resolves in-bucket and rides
+    along) and by bg (c(w1,w2) resolves in-bucket and the per-doc
+    log-prob partials emit directly) — plus one narrow distinct exchange
+    for the vocabulary size.  No joins, no broadcast: a 100-TB bigram
+    vocabulary (1e9+) never fits one, so the keyed exchange IS the plan
+    (cf. q_doc_tfidf_top_terms' dual path)."""
     from crawler_ray.stages.combine import bucketed_distinct
 
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # pin once so the corpus tokenizes exactly once (vocab + pass A)
     dbg_all = ds.map_batches(_doc_bigrams, batch_format="pandas").materialize()
     # vocabulary size: w1 of the full stream covers every corpus token
     # (the bg='' sentinel rows carry each doc's final token)
     vocab_n = bucketed_distinct(dbg_all, "w1").count()
-    dbg = dbg_all.map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t["bg"], "")),
-        batch_format="pyarrow",
+
+    # rows-aware raw-stream bucket policy: ~one row per corpus token
+    n_buckets = n_buckets_for_rows(
+        (_meta_col_bytes(sf_dir, "documents", "text") or 0) // 6 or None
     )
+    mask = np.uint64(n_buckets - 1)
 
-    gc = _bucketed_combine(dbg, ["bg", "w1"], {"c": ("n", "sum")})
-    lc = _bucketed_combine(dbg, ["w1"], {"c_left": ("n", "sum")})
-    stats = hash_join(gc, lc, "w1", "w1").drop_columns(["w1"])
-    joined = hash_join(dbg, stats, "bg", "bg")
+    def _bucketize(col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+            return df.assign(__b=(h & mask).astype(np.int64))
 
-    def per_doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    def attach_cleft(df: pd.DataFrame) -> pd.DataFrame:
+        # sentinel rows (bg='', n=0) add nothing to the sum and drop here
+        cl = df.groupby("w1", sort=False)["n"].transform("sum")
+        df = df.assign(c_left=cl.astype(np.int64))
+        return df[df["bg"].to_numpy() != ""].drop(columns=["__b", "w1"])
+
+    def partial_scores(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("bg", sort=False)["n"].transform("sum").to_numpy(
+            np.float64
+        )
         n = df["n"].to_numpy(np.float64)
         logp = n * np.log(
-            (df["c"].to_numpy(np.float64) + 1.0)
-            / (df["c_left"].to_numpy(np.float64) + float(vocab_n))
+            (c + 1.0) / (df["c_left"].to_numpy(np.float64) + float(vocab_n))
         )
         return (
             df.assign(__lp=logp, __n=df["n"].astype(np.int64))
@@ -5457,10 +5477,19 @@ def q_doc_bigram_lm(sf_dir: str):
             .agg(n_bigrams=("__n", "sum"), lp=("__lp", "sum"))
         )
 
+    with_cleft = (
+        dbg_all.map_batches(
+            _bucketize("w1"), batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(attach_cleft, batch_format="pandas")
+    )
     agg = _bucketed_combine(
-        joined.map_batches(
-            per_doc_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
-        ),
+        with_cleft.map_batches(
+            _bucketize("bg"), batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(partial_scores, batch_format="pandas"),
         ["doc_id"],
         {"n_bigrams": ("n_bigrams", "sum"), "lp": ("lp", "sum")},
     )
@@ -5525,6 +5554,15 @@ def q_emb_semdedup(sf_dir: str):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 256)],
     )
+    if len(st) == 0:  # empty corpus: nothing to train on or dedup
+        return _typed_empty(
+            {
+                "vec_id": pa.int64(),
+                "cluster": pa.int64(),
+                "dup_of": pa.int64(),
+                "is_dup": pa.bool_(),
+            }
+        )
     C = _kmeans(_emb_matrix(st), KMEANS_CLUSTERS, iters=KMEANS_ITERS)
     ref = ray.put(C)
 
@@ -5664,11 +5702,26 @@ def q_doc_snapshot_diff(sf_dir: str):
     """Snapshot diff (dataset-versioning / incremental-recrawl primitive):
     compare two table versions and emit (doc_id, status) for added /
     removed / changed rows, dropping the unchanged bulk.  Join-free plan:
-    both snapshots stream as narrow (doc_id, side flags, content md5)
+    both snapshots stream as narrow (doc_id, side flags, content hash)
     rows into ONE bucketed combine whose per-doc aggregate (side counts +
     hash min/max) decides the status — the exchange carries two rows per
-    doc max, and no side is ever broadcast or collected."""
+    doc max, and no side is ever broadcast or collected.  The content
+    hash is the md5's low 64 bits as an INT64: pandas groupby min/max on
+    object strings falls off the vectorized path (measured 32 s vs
+    0.03 s at 500k near-unique groups), and equality-by-64-bit-hash is
+    all the status resolution needs."""
     base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _h64(texts) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(t.encode()).digest()[:8], "big", signed=True
+                )
+                for t in texts
+            ],
+            dtype=np.int64,
+        )
 
     def base_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -5676,7 +5729,7 @@ def q_doc_snapshot_diff(sf_dir: str):
                 "doc_id": df["doc_id"].astype(np.int64),
                 "is_base": np.ones(len(df), np.int64),
                 "is_new": np.zeros(len(df), np.int64),
-                "h": [hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
+                "h": _h64(df["text"]),
             }
         )
 
@@ -5700,7 +5753,7 @@ def q_doc_snapshot_diff(sf_dir: str):
                 "doc_id": out["doc_id"].astype(np.int64),
                 "is_base": np.zeros(len(out), np.int64),
                 "is_new": np.ones(len(out), np.int64),
-                "h": [hashlib.md5(t.encode()).hexdigest() for t in out["t"]],
+                "h": _h64(out["t"]),
             }
         )
 

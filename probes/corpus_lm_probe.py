@@ -10,7 +10,12 @@ Two legs, one JSON line each field:
    the bench corpus, at 100x the rows.  Driver state: one vocabulary
    scalar; every exchange is a narrow (string key, count) row stream.
 
-2. **SemDeDup at prescribed-scale K** — 1M 64-d vectors with planted
+2. **snapshot diff** — doc_snapshot_diff (shipped code) over the SAME
+   generated corpus: every status count has a closed form from the
+   perturbation rule (removed = #(id%17==0), changed = #(id%13==0 and
+   id%17!=0), added = #(id%19==0)), asserted exactly.
+
+3. **SemDeDup at prescribed-scale K** — 1M 64-d vectors with planted
    exact duplicates (every 100th vector copies its predecessor), K=1024
    clusters (the paper's K-grows-with-N prescription; the sf query keeps
    the fixed IVF quantizer K=16).  Assignment is a broadcast-centroid
@@ -130,6 +135,39 @@ def _vec_of(ids: np.ndarray, C: np.ndarray) -> np.ndarray:
     return C[ids % len(C)] + _unoise(ids, DIM, 2.0)
 
 
+def leg_snapshot_diff(tmp: str) -> dict:
+    from crawler_ray.pipelines.queries import QUERIES
+
+    t0 = time.monotonic()
+    cdf = (
+        QUERIES["doc_snapshot_diff"](tmp)
+        .map_batches(
+            lambda df: df["status"]
+            .value_counts()
+            .rename_axis("status")
+            .reset_index(name="n"),
+            batch_format="pandas",
+        )
+        .to_pandas()  # bounded: <= 3 rows per block (partial counts)
+    )
+    counts = dict(cdf.groupby("status")["n"].sum())
+    wall = time.monotonic() - t0
+    ids = np.arange(N_DOCS)
+    want = {
+        "removed": int((ids % 17 == 0).sum()),
+        "changed": int(((ids % 13 == 0) & (ids % 17 != 0)).sum()),
+        "added": int((ids % 19 == 0).sum()),
+    }
+    got = {k: int(counts.get(k, 0)) for k in want}
+    assert got == want, (got, want)
+    return {
+        "diff_docs": N_DOCS,
+        "diff_wall_s": round(wall, 1),
+        "diff_rows_per_s": int(2 * N_DOCS / wall),
+        "diff_counts_exact": True,
+    }
+
+
 def gen_vecs(batch: pd.DataFrame, C: np.ndarray) -> pa.Table:
     ids = batch["id"].to_numpy()
     # every 100th vector copies its predecessor EXACTLY (the planted dup)
@@ -233,6 +271,7 @@ def main() -> None:
     res = {}
     with tempfile.TemporaryDirectory(prefix="corpus_lm_probe") as tmp:
         res.update(leg_bigram_lm(tmp))
+        res.update(leg_snapshot_diff(tmp))
     res.update(leg_semdedup())
     print(json.dumps(res))
     ray.shutdown()

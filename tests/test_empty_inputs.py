@@ -59,3 +59,37 @@ def test_span_boilerplate_empty(empty_sf_dir):
     from crawler_ray.pipelines.queries import q_span_boilerplate
 
     assert q_span_boilerplate(empty_sf_dir).count() == 0
+
+
+def test_round5b_queries_empty(empty_sf_dir):
+    """The round-5b operators all emit zero rows on zero-row inputs
+    (matching their oracles, which produce no rows from empty unnests,
+    joins and groupbys)."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    for name in (
+        "events_zscore",
+        "doc_ngram_novelty",
+        "doc_bigram_lm",
+        "events_distinct_users",
+        "doc_snapshot_diff",
+    ):
+        out = QUERIES[name](empty_sf_dir)
+        assert out.count() == 0, name
+
+
+def test_semdedup_empty(empty_sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.pipelines.queries import QUERIES
+
+    schema = pq.ParquetFile(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).schema_arrow
+    pq.write_table(
+        schema.empty_table(), os.path.join(empty_sf_dir, "embeddings.parquet")
+    )
+    assert QUERIES["emb_semdedup"](empty_sf_dir).count() == 0
+    assert QUERIES["emb_kmeans_assign"](empty_sf_dir).count() == 0
