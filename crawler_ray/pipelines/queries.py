@@ -5529,6 +5529,188 @@ GROUP BY d.doc_id
 """
 
 
+LANGID_TOP_M = 200
+"""Profile depth for language ID: top-M character bigrams per language."""
+
+
+def _char_bigram_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """All intra-document character-bigram codes of a batch, vectorized.
+
+    Returns ``(codes, doc_idx)``: one row per bigram OCCURRENCE, where
+    ``code = cp1 << 21 | cp2`` (Unicode codepoints < 2^21).  Code order
+    equals (cp1, cp2) order equals UTF-8 binary order of the 2-char
+    string — so integer tie-breaks sort identically to the oracle's
+    ``ORDER BY b``.  One utf-32 decode of the joined batch; pairs that
+    span document boundaries are masked out (no per-row Python loop).
+    """
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    if int(lens.sum()) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.frombuffer("".join(texts).encode("utf-32-le"), "<u4").astype(
+        np.int64
+    )
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    valid = doc_of[:-1] == doc_of[1:]
+    return ((a[:-1] << 21) | a[1:])[valid], doc_of[:-1][valid]
+
+
+def q_doc_langid(sf_dir: str):
+    """Language identification via character-n-gram rank profiles
+    (Cavnar & Trenkle 1994, "N-Gram-Based Text Categorization"), the
+    n-gram heuristic langid a training-data pipeline runs before
+    language filtering.  Two passes:
+
+    1. TRAIN: per-(lang, bigram) occurrence counts — per-batch numpy
+       partials -> one bucketed combine whose cardinality is bounded by
+       |langs| x alphabet^2 (NOT corpus size) -> per-lang top-M ranks.
+       The finished profile is <= |langs| x M rows (KBs), so pulling it
+       to the driver and shipping it inside the scoring closure is the
+       broadcast-small-side pattern, not a materialization.
+    2. SCORE: zero-shuffle map — per batch, one utf-32 decode, a
+       searchsorted lookup per language against the sorted profile
+       codes, and a bincount per (doc, lang); weight of rank rk is
+       (M - rk), summed per bigram occurrence.  Prediction = max score,
+       ties to the lexicographically smallest language; docs matching
+       no profile bigram (e.g. < 2 chars) predict 'und' with score 0.
+
+    At 100 TB the train exchange stays alphabet-bounded and the scoring
+    pass streams; nothing scales with corpus size except the two maps.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    _p_cols = {"lang": object, "bg": np.int64, "n": np.int64}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in _p_cols.items()}
+        )
+        if not len(df):
+            return empty
+        codes, di = _char_bigram_codes(df["text"].tolist())
+        if not len(codes):
+            return empty
+        langs, lidx = np.unique(
+            df["lang"].to_numpy(object), return_inverse=True
+        )
+        # codes < 2^42 (two 21-bit codepoints); lang index rides above
+        key = (lidx.astype(np.int64)[di] << 42) | codes
+        u, n = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "lang": langs[u >> 42],
+                "bg": u & ((1 << 42) - 1),
+                "n": n.astype(np.int64),
+            }
+        )
+
+    cnt = _bucketed_combine(
+        ds.map_batches(
+            partial, batch_format="pandas", batch_size=PARTIAL_BATCH
+        ),
+        ["lang", "bg"],
+        {"n": ("n", "sum")},
+    )
+
+    def top_m(df: pd.DataFrame) -> pd.DataFrame:
+        # per-lang group: one row per DISTINCT bigram of that language —
+        # alphabet^2-bounded, independent of corpus size
+        df = df.sort_values(
+            ["n", "bg"], ascending=[False, True], ignore_index=True
+        ).head(LANGID_TOP_M)
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "bg": df["bg"].astype(np.int64),
+                "rk": np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    prof = (
+        cnt.groupby("lang")
+        .map_groups(top_m, batch_format="pandas")
+        .to_pandas()  # bounded: <= |langs| * LANGID_TOP_M rows
+    )
+    langs_sorted = sorted(prof["lang"].unique().tolist())
+    by_lang = {}
+    for lang in langs_sorted:
+        g = prof[prof["lang"] == lang].sort_values("bg")
+        by_lang[lang] = (
+            g["bg"].to_numpy(np.int64),
+            (LANGID_TOP_M - g["rk"].to_numpy(np.int64)).astype(np.float64),
+        )
+    lang_arr = np.array(langs_sorted, dtype=object)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nd = len(df)
+        if not nd:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pred_lang": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.int64),
+                    "is_match": pd.Series([], dtype=bool),
+                }
+            )
+        codes, di = _char_bigram_codes(df["text"].tolist())
+        s = np.zeros((nd, max(len(lang_arr), 1)), np.int64)
+        for j, lang in enumerate(langs_sorted):
+            pc, pw = by_lang[lang]
+            if not len(pc) or not len(codes):
+                continue
+            idx = np.minimum(np.searchsorted(pc, codes), len(pc) - 1)
+            m = pc[idx] == codes
+            if m.any():
+                s[:, j] = np.bincount(
+                    di[m], weights=pw[idx[m]], minlength=nd
+                ).astype(np.int64)
+        best = s.argmax(axis=1)  # first max -> smallest lang (sorted asc)
+        sc = s[np.arange(nd), best]
+        pred = (
+            np.where(sc > 0, lang_arr[best], "und")
+            if len(lang_arr)
+            else np.full(nd, "und", dtype=object)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "pred_lang": pred.astype(object),
+                "score": sc.astype(np.int64),
+                "is_match": pred == df["lang"].to_numpy(object),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+SQL_DOC_LANGID = f"""
+WITH bg AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 2) AS b
+  FROM (SELECT doc_id, lang, text,
+               unnest(range(1, length(text))) AS i FROM documents)
+),
+cnt AS (SELECT lang, b, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+prof AS (
+  SELECT lang, b, rk FROM (
+    SELECT lang, b,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, b) - 1 AS rk
+    FROM cnt)
+  WHERE rk < {LANGID_TOP_M}
+),
+sc AS (SELECT bg.doc_id, prof.lang AS cand,
+              SUM({LANGID_TOP_M} - prof.rk)::BIGINT AS score
+       FROM bg JOIN prof ON bg.b = prof.b GROUP BY 1, 2),
+best AS (SELECT doc_id, cand, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand) AS rn
+         FROM sc)
+SELECT d.doc_id, COALESCE(b.cand, 'und') AS pred_lang,
+       COALESCE(b.score, 0)::BIGINT AS score,
+       (COALESCE(b.cand, 'und') = d.lang) AS is_match
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 # SemDeDup near-dup cosine cut.  This corpus' embeddings are weakly
 # similar (max pairwise cosine ~0.44 at sf0.01), so the cut sits where
 # real clusters of semantic near-dups land for THIS data; the operator is
@@ -5825,7 +6007,10 @@ QUERIES = {
     "doc_source_stats": q_doc_source_stats,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
-    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    # doc_langid is a NEW family (text analysis: language ID);
+    # doc_jaccard_pairs moved to the tail — it verifies against the same
+    # oracle as the captured doc_minhash_pairs
+    "doc_langid": q_doc_langid,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_bands": q_doc_simhash_bands,
@@ -5900,6 +6085,7 @@ QUERIES = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "events_distinct_users": q_events_distinct_users,
     "doc_snapshot_diff": q_doc_snapshot_diff,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
 }
 
 
@@ -5988,6 +6174,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": SQL_EVENTS_ZSCORE,
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
+        "doc_langid": SQL_DOC_LANGID,
         "emb_semdedup": _sql_emb_semdedup(),
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,

@@ -164,3 +164,53 @@ def test_semdedup_planted_exact_duplicate(ray_session, tmp_path, sf_dir):
     dups = out[out["is_dup"]]
     assert (dups["dup_of"] < dups.index.to_numpy()).all()
     assert (out.loc[~out["is_dup"], "dup_of"] == -1).all()
+
+
+def test_char_bigram_codes_boundaries_and_multibyte():
+    """Pairs never span documents; multibyte codepoints decode as single
+    units; code order equals UTF-8 binary order of the 2-char string."""
+    from crawler_ray.pipelines.queries import _char_bigram_codes
+
+    codes, di = _char_bigram_codes(["ab", "", "c", "日本語"])
+    # "ab" -> 1 pair from doc 0; "c" has none; "日本語" -> 2 pairs from doc 3
+    assert list(di) == [0, 3, 3]
+    assert codes[0] == (ord("a") << 21) | ord("b")
+    assert codes[1] == (ord("日") << 21) | ord("本")
+    # tie-order claim: integer order == UTF-8 byte order of the bigram
+    import itertools
+
+    grams = ["ab", "aB", "zz", "日本", "本語", "éà"]
+    enc = sorted(grams, key=lambda g: g.encode("utf-8"))
+    by_code = sorted(grams, key=lambda g: (ord(g[0]) << 21) | ord(g[1]))
+    assert enc == by_code
+    # degenerate inputs
+    c0, d0 = _char_bigram_codes([])
+    c1, d1 = _char_bigram_codes(["", "x"])
+    assert len(c0) == len(d0) == len(c1) == len(d1) == 0
+
+
+def test_langid_planted_profiles(ray_session, tmp_path):
+    """Two synthetic 'languages' with disjoint alphabets: every doc
+    predicts its own language; a 1-char doc predicts 'und' (score 0)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["aa", "aa", "bb", "bb", "aa"]),
+            "text": pa.array(
+                ["abababab", "ababab", "cdcdcdcd", "cdcdcd", "x"]
+            ),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([8, 6, 8, 6, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from crawler_ray.pipelines.queries import QUERIES
+
+    out = (
+        QUERIES["doc_langid"](str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["pred_lang"]) == ["aa", "aa", "bb", "bb", "und"]
+    assert list(out["is_match"]) == [True, True, True, True, False]
+    assert out["score"].iloc[4] == 0 and (out["score"].iloc[:4] > 0).all()
