@@ -5711,6 +5711,200 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+DOC_SUBSTR_W = 24
+"""Window width (chars) for exact substring duplication detection."""
+DOC_SUBSTR_STRIDE = 4
+"""Window start stride — bounds the stream at ~n_chars/stride rows."""
+
+
+def q_doc_substring_dups(sf_dir: str):
+    """Cross-document EXACT SUBSTRING duplication (the signal behind Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": what fraction of a document's characters is duplicated
+    verbatim elsewhere in the corpus).  Character windows of width W at
+    stride S; a window is duplicated iff it occurs in >= 2 DISTINCT
+    documents; per doc we report the window counts and the UNION length
+    of the duplicated windows' character intervals (overlaps collapse).
+    Stride > 1 trades recall for stream volume: only duplicates whose
+    alignments agree mod S are detected (S=1 recovers the exact
+    suffix-array answer for runs >= W at S times the rows).
+
+    Plan — two keyed exchanges, no joins, no broadcast of the
+    (unbounded) window vocabulary:
+    1. window-keyed buckets: all occurrences of a window co-locate, so
+       the >= 2-distinct-docs test resolves in-bucket, which emits only
+       the duplicated (doc_id, position) rows;
+    2. doc-keyed buckets: a doc's duplicated positions co-locate, so
+       the interval union is one vectorized sorted-diff per bucket; the
+       per-doc window/char totals ride the same exchange as marker rows
+       (p = -1) computed exactly during extraction (a document never
+       splits across rows, so its windows sit in one batch).
+    Bucket counts are sized by estimated window volume (rows-aware
+    raw-stream policy); per-doc groups are bounded by n_chars/S rows.
+    Docs shorter than W have no windows and are absent (unnest
+    semantics), matching the oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+    W, S = DOC_SUBSTR_W, DOC_SUBSTR_STRIDE
+
+    w_cols = {"doc_id": np.int64, "p": np.int64, "win": object}
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_p, out_w = [], [], []
+        for did, t in zip(df["doc_id"].to_numpy(), df["text"]):
+            n = len(t)
+            if n < W:
+                continue
+            ps = range(0, n - W + 1, S)
+            out_ids.append(np.full(len(ps), did, np.int64))
+            out_p.append(np.fromiter(ps, np.int64, len(ps)))
+            out_w.extend(t[p : p + W] for p in ps)
+        if not out_ids:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=d) for c, d in w_cols.items()}
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "p": np.concatenate(out_p),
+                "win": np.asarray(out_w, dtype=object),
+            }
+        )
+
+    # ~one window per S text chars
+    n_buckets = n_buckets_for_rows(
+        (_meta_col_bytes(sf_dir, "documents", "text") or 0) // S or None
+    )
+    mask = np.uint64(n_buckets - 1)
+
+    def bucket_win(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["win"], index=False).to_numpy()
+        return df.assign(__b=(h & mask).astype(np.int64))
+
+    def emit_dups(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("win", sort=False)["doc_id"].transform("nunique")
+        out = df.loc[nd.to_numpy() >= 2, ["doc_id", "p"]]
+        return out.assign(
+            n_windows=np.zeros(len(out), np.int64),
+            n_chars=np.zeros(len(out), np.int64),
+        )
+
+    dup_rows = (
+        ds.map_batches(windows, batch_format="pandas")
+        .map_batches(
+            bucket_win, batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(emit_dups, batch_format="pandas")
+    )
+
+    def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        nw = (
+            np.maximum(df["n_chars"].to_numpy(np.int64) - W, -S) // S + 1
+        ).astype(np.int64)
+        keep = nw > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "p": np.full(int(keep.sum()), -1, np.int64),
+                "n_windows": nw[keep],
+                "n_chars": df["n_chars"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    stats = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        doc_stats, batch_format="pandas"
+    )
+
+    def bucket_doc(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["doc_id"], index=False).to_numpy()
+        return df.assign(__b=(h & mask).astype(np.int64))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["p"].to_numpy() < 0]
+        base = pd.DataFrame(
+            {
+                "doc_id": st["doc_id"].to_numpy(np.int64),
+                "n_windows": st["n_windows"].to_numpy(np.int64),
+                "n_chars": st["n_chars"].to_numpy(np.int64),
+            }
+        )
+        dup = df[df["p"].to_numpy() >= 0].sort_values(
+            ["doc_id", "p"], ignore_index=True
+        )
+        if len(dup):
+            ids = dup["doc_id"].to_numpy(np.int64)
+            p = dup["p"].to_numpy(np.int64)
+            cover = np.full(len(p), W, np.int64)
+            same = ids[:-1] == ids[1:]
+            cover[:-1][same] = np.minimum(W, (p[1:] - p[:-1])[same])
+            agg = (
+                pd.DataFrame({"doc_id": ids, "__c": cover})
+                .groupby("doc_id", sort=False, as_index=False)
+                .agg(n_dup_windows=("__c", "size"), dup_chars=("__c", "sum"))
+            )
+        else:
+            agg = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "n_dup_windows": pd.Series([], dtype=np.int64),
+                    "dup_chars": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = base.merge(agg, on="doc_id", how="left")
+        nd = out["n_dup_windows"].fillna(0).to_numpy(np.int64)
+        dc = out["dup_chars"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_windows": out["n_windows"].to_numpy(np.int64),
+                "n_dup_windows": nd,
+                "dup_chars": dc,
+                "dup_frac": duck_round(
+                    dc / out["n_chars"].to_numpy(np.float64), 6
+                ),
+            }
+        )
+
+    return (
+        stats.union(dup_rows)
+        .map_batches(
+            bucket_doc, batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+SQL_DOC_SUBSTRING_DUPS = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, CAST(i AS BIGINT) AS p,
+         substr(text, CAST(i AS INT), {DOC_SUBSTR_W}) AS win
+  FROM (SELECT doc_id, n_chars, text,
+               unnest(range(1, length(text) - {DOC_SUBSTR_W - 2},
+                            {DOC_SUBSTR_STRIDE})) AS i
+        FROM documents)
+),
+d AS (SELECT win FROM (SELECT win, COUNT(DISTINCT doc_id) AS nd
+                       FROM w GROUP BY 1) WHERE nd >= 2),
+dw AS (SELECT w.doc_id, w.p,
+              LEAD(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS np
+       FROM w JOIN d USING (win)),
+cov AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows,
+               SUM(LEAST({DOC_SUBSTR_W},
+                         COALESCE(np - p, {DOC_SUBSTR_W})))::BIGINT
+                 AS dup_chars
+        FROM dw GROUP BY doc_id),
+tot AS (SELECT doc_id, any_value(n_chars) AS n_chars,
+               COUNT(*)::BIGINT AS n_windows
+        FROM w GROUP BY doc_id)
+SELECT t.doc_id, t.n_windows,
+       COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       COALESCE(c.dup_chars, 0)::BIGINT AS dup_chars,
+       ROUND(COALESCE(c.dup_chars, 0) * 1.0 / t.n_chars, 6) AS dup_frac
+FROM tot t LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # SemDeDup near-dup cosine cut.  This corpus' embeddings are weakly
 # similar (max pairwise cosine ~0.44 at sf0.01), so the cut sits where
 # real clusters of semantic near-dups land for THIS data; the operator is
@@ -5999,7 +6193,10 @@ QUERIES = {
     "nation_orders": q_nation_orders,
     "orderpriority_revenue": q_orderpriority_revenue,
     "event_last_order": q_event_last_order,
-    "part_brand_stats": q_part_brand_stats,
+    # doc_substring_dups is a NEW dedup method (Lee-et-al exact substring
+    # coverage); part_brand_stats moved to the tail — plain groupby-agg
+    # with pricing_summary already captured for the family
+    "doc_substring_dups": q_doc_substring_dups,
     "user_sessions": q_user_sessions,
     "priority_scores": q_priority_scores,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -6086,6 +6283,7 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "doc_snapshot_diff": q_doc_snapshot_diff,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "part_brand_stats": q_part_brand_stats,
 }
 
 
@@ -6175,6 +6373,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_novelty": SQL_DOC_NGRAM_NOVELTY,
         "doc_bigram_lm": SQL_DOC_BIGRAM_LM,
         "doc_langid": SQL_DOC_LANGID,
+        "doc_substring_dups": SQL_DOC_SUBSTRING_DUPS,
         "emb_semdedup": _sql_emb_semdedup(),
         "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,

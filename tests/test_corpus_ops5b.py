@@ -214,3 +214,52 @@ def test_langid_planted_profiles(ray_session, tmp_path):
     assert list(out["pred_lang"]) == ["aa", "aa", "bb", "bb", "und"]
     assert list(out["is_match"]) == [True, True, True, True, False]
     assert out["score"].iloc[4] == 0 and (out["score"].iloc[:4] > 0).all()
+
+
+def test_substring_dups_interval_union(ray_session, tmp_path):
+    """Two docs share one 30-char run (W=24, S=4): overlapping duplicated
+    windows collapse to the run's true char coverage; a unique doc has 0
+    dups; a doc shorter than W emits nothing."""
+    shared = "XYZQWJKVBNMLPOIUYTREWQASDFGHZX"  # 30 chars, unique-ish
+    a = shared + "a" * 40  # run at positions 0..29
+    # run starts at 40 (stride-aligned, 40 % S == 0) so both docs sample
+    # the SAME 24-grams out of the run — strided windowing only detects
+    # duplicates whose alignments agree mod S (see operator docstring)
+    b = "b" * 40 + shared
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "lang": pa.array(["en"] * 4),
+            "text": pa.array([a, b, "u" * 5, "c" + "d" * 30 + "e" * 30]),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array(
+                [len(a), len(b), 5, 61], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    from crawler_ray.pipelines.queries import (
+        DOC_SUBSTR_STRIDE as S,
+        DOC_SUBSTR_W as W,
+        QUERIES,
+    )
+
+    out = (
+        QUERIES["doc_substring_dups"](str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc 2 (5 chars < W) absent
+    assert list(out["doc_id"]) == [0, 1, 3]
+    r0 = out.iloc[0]
+    # doc 0: shared run spans [0, 30); windows fully inside it start at
+    # 0 and 4 -> dup windows {0, 4}; union = [0, 4+W) = 28 chars
+    assert r0["n_dup_windows"] == 2 and r0["dup_chars"] == 4 + W
+    # doc 1: run occupies [40, 70); starts 40, 44 sample the same two
+    # 24-grams; union again 28 chars (overlap collapsed)
+    r1 = out.iloc[1]
+    assert r1["n_dup_windows"] == 2 and r1["dup_chars"] == 4 + W
+    # doc 3 shares nothing
+    r3 = out.iloc[2]
+    assert r3["n_dup_windows"] == 0 and r3["dup_chars"] == 0
+    assert r3["dup_frac"] == 0.0
