@@ -5603,10 +5603,12 @@ def q_doc_langid(sf_dir: str):
             }
         )
 
+    # NOTE: no batch_size on the partial map — each partial's output is
+    # already alphabet-bounded (~|langs| x alphabet^2 rows), so coalescing
+    # inputs buys nothing and a 1M-DOC batch would both serialize the
+    # extraction and hold ~10^8 pair codes in one task's heap
     cnt = _bucketed_combine(
-        ds.map_batches(
-            partial, batch_format="pandas", batch_size=PARTIAL_BATCH
-        ),
+        ds.map_batches(partial, batch_format="pandas"),
         ["lang", "bg"],
         {"n": ("n", "sum")},
     )
@@ -5746,27 +5748,67 @@ def q_doc_substring_dups(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
     W, S = DOC_SUBSTR_W, DOC_SUBSTR_STRIDE
 
-    w_cols = {"doc_id": np.int64, "p": np.int64, "win": object}
+    w_cols = {"doc_id": np.int64, "p": np.int64, "h1": np.int64,
+              "h2": np.int64}
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
-        out_ids, out_p, out_w = [], [], []
-        for did, t in zip(df["doc_id"].to_numpy(), df["text"]):
-            n = len(t)
-            if n < W:
-                continue
-            ps = range(0, n - W + 1, S)
-            out_ids.append(np.full(len(ps), did, np.int64))
-            out_p.append(np.fromiter(ps, np.int64, len(ps)))
-            out_w.extend(t[p : p + W] for p in ps)
-        if not out_ids:
+        # Window CONTENT never leaves this task: each W-codepoint window
+        # is keyed by a 128-bit rolling polynomial hash (two independent
+        # odd bases mod 2^64), computed O(n) via the prefix-scan form
+        # h(i,i+W) = (Q[i+W]-Q[i]) * base^(i+W-1) with Q = cumsum of
+        # a_j * base^-j (odd bases are invertible mod 2^64; numpy uint64
+        # arithmetic wraps modularly).  Equal windows hash equal; a false
+        # positive needs the SAME pair to collide under both bases
+        # (~2^-128 per pair — zero across any real corpus), which is what
+        # makes hash equality stand in for string equality exactly.  The
+        # exchange then carries 4 narrow int64 columns instead of
+        # W-char strings — ~3x less volume and no per-window Python.
+        texts = df["text"].tolist()
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        nw = np.maximum((lens - W) // S + 1, 0)
+        total = int(nw.sum())
+        if not total:
             return pd.DataFrame(
                 {c: pd.Series([], dtype=d) for c, d in w_cols.items()}
             )
+        a = np.frombuffer("".join(texts).encode("utf-32-le"), "<u4").astype(
+            np.uint64
+        )
+        n = len(a)
+        h_parts = []
+        for base in (np.uint64(0x9E3779B97F4A7C15),
+                     np.uint64(0xC2B2AE3D27D4EB4F)):
+            binv = np.uint64(pow(int(base), -1, 1 << 64))
+            pw = np.empty(n, np.uint64)   # pw[j] = base^j  (mod 2^64)
+            ipw = np.empty(n, np.uint64)  # ipw[j] = base^-j (mod 2^64)
+            pw[0] = ipw[0] = np.uint64(1)
+            if n > 1:
+                pw[1:] = np.multiply.accumulate(
+                    np.full(n - 1, base, np.uint64)
+                )
+                ipw[1:] = np.multiply.accumulate(
+                    np.full(n - 1, binv, np.uint64)
+                )
+            q = np.zeros(n + 1, np.uint64)  # Q[k] = sum_{j<k} a_j b^-j
+            np.cumsum((a + np.uint64(1)) * ipw, out=q[1:])
+            h_parts.append(q)
+            h_parts.append(pw)
+        off = np.zeros(len(texts), np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+        first = np.zeros(len(texts), np.int64)
+        np.cumsum(nw[:-1], out=first[1:])
+        k = np.arange(total, dtype=np.int64) - np.repeat(first, nw)
+        p = k * S
+        g = np.repeat(off, nw) + p       # global window starts
+        q1, pw1, q2, pw2 = h_parts
+        h1 = (q1[g + W] - q1[g]) * pw1[g + W - 1]
+        h2 = (q2[g + W] - q2[g]) * pw2[g + W - 1]
         return pd.DataFrame(
             {
-                "doc_id": np.concatenate(out_ids),
-                "p": np.concatenate(out_p),
-                "win": np.asarray(out_w, dtype=object),
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), nw),
+                "p": p,
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
             }
         )
 
@@ -5777,11 +5819,14 @@ def q_doc_substring_dups(sf_dir: str):
     mask = np.uint64(n_buckets - 1)
 
     def bucket_win(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["win"], index=False).to_numpy()
+        # h1 is already a hash — bucket straight off its low bits
+        h = df["h1"].to_numpy().view(np.uint64)
         return df.assign(__b=(h & mask).astype(np.int64))
 
     def emit_dups(df: pd.DataFrame) -> pd.DataFrame:
-        nd = df.groupby("win", sort=False)["doc_id"].transform("nunique")
+        nd = df.groupby(["h1", "h2"], sort=False)["doc_id"].transform(
+            "nunique"
+        )
         out = df.loc[nd.to_numpy() >= 2, ["doc_id", "p"]]
         return out.assign(
             n_windows=np.zeros(len(out), np.int64),
