@@ -5632,7 +5632,10 @@ def q_doc_langid(sf_dir: str):
         .map_groups(top_m, batch_format="pandas")
         .to_pandas()  # bounded: <= |langs| * LANGID_TOP_M rows
     )
-    langs_sorted = sorted(prof["lang"].unique().tolist())
+    # a zero-row corpus yields a column-less empty frame -> no languages
+    langs_sorted = (
+        sorted(prof["lang"].unique().tolist()) if len(prof) else []
+    )
     by_lang = {}
     for lang in langs_sorted:
         g = prof[prof["lang"] == lang].sort_values("bg")

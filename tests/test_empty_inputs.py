@@ -93,3 +93,13 @@ def test_semdedup_empty(empty_sf_dir):
     )
     assert QUERIES["emb_semdedup"](empty_sf_dir).count() == 0
     assert QUERIES["emb_kmeans_assign"](empty_sf_dir).count() == 0
+
+
+def test_round5c_queries_empty(empty_sf_dir):
+    """langid emits one 'und' row per doc (LEFT JOIN semantics) — zero
+    docs, zero rows; substring dups emits one row per doc with >= 1
+    window — zero docs, zero rows."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    assert QUERIES["doc_langid"](empty_sf_dir).count() == 0
+    assert QUERIES["doc_substring_dups"](empty_sf_dir).count() == 0
