@@ -130,6 +130,12 @@ BENCH_QUERIES = [
     "events_distinct_users",
     # join-free snapshot diff (added/removed/changed in one combine)
     "doc_snapshot_diff",
+    # character-n-gram language ID: alphabet-bounded train exchange +
+    # zero-shuffle broadcast-profile scoring
+    "doc_langid",
+    # exact substring duplication coverage: rolling-hash windows, two
+    # keyed exchanges, per-doc interval union
+    "doc_substring_dups",
 ]
 
 
