@@ -263,3 +263,65 @@ def test_substring_dups_interval_union(ray_session, tmp_path):
     r3 = out.iloc[2]
     assert r3["n_dup_windows"] == 0 and r3["dup_chars"] == 0
     assert r3["dup_frac"] == 0.0
+
+
+def test_substring_dups_hash_faithful_to_strings(ray_session, tmp_path):
+    """The 128-bit rolling-hash window keys must reproduce EXACT string
+    equality: a seeded corpus built from a tiny alphabet (so repeated
+    windows are common) is checked doc-by-doc against a brute-force
+    string-comparison reference of the same W/S semantics."""
+    import numpy as np
+
+    from crawler_ray.pipelines.queries import (
+        DOC_SUBSTR_STRIDE as S,
+        DOC_SUBSTR_W as W,
+        QUERIES,
+    )
+
+    rng = np.random.default_rng(7)
+    shared = "".join(rng.choice(list("abc"), 40))
+    texts = []
+    for i in range(60):
+        n = int(rng.integers(0, 90))
+        t = "".join(rng.choice(list("abc"), n))
+        if i % 3 == 0 and n >= 30:
+            # splice the shared run at an arbitrary (often unaligned) spot
+            k = int(rng.integers(0, n - 20))
+            t = t[:k] + shared + t[k:]
+        texts.append(t)
+
+    # brute-force reference: exact string windows
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    wins = []
+    for d, t in enumerate(texts):
+        ps = list(range(0, len(t) - W + 1, S))
+        wins.append([(p, t[p : p + W]) for p in ps])
+        for _, s in wins[-1]:
+            owners[s].add(d)
+    expect = {}
+    for d, ws in enumerate(wins):
+        if not ws:
+            continue
+        dup = [(p, s) for p, s in ws if len(owners[s]) >= 2]
+        cov = 0
+        for j, (p, _) in enumerate(dup):
+            nxt = dup[j + 1][0] if j + 1 < len(dup) else None
+            cov += min(W, nxt - p) if nxt is not None else W
+        expect[d] = (len(ws), len(dup), cov)
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = QUERIES["doc_substring_dups"](str(tmp_path)).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_windows), int(r.n_dup_windows), int(r.dup_chars))
+        for r in out.itertuples()
+    }
+    assert got == expect
