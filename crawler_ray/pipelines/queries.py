@@ -5747,7 +5747,10 @@ def q_doc_substring_dups(sf_dir: str):
     Bucket counts are sized by estimated window volume (rows-aware
     raw-stream policy); per-doc groups are bounded by n_chars/S rows.
     Docs shorter than W have no windows and are absent (unnest
-    semantics), matching the oracle."""
+    semantics), matching the oracle.  The marker-row pass derives
+    n_windows from the table's n_chars column rather than re-reading
+    text (n_chars == length(text) is a documents-table invariant,
+    verified at every sf; TESTDATA.md)."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
     W, S = DOC_SUBSTR_W, DOC_SUBSTR_STRIDE
 
