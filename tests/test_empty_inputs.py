@@ -103,3 +103,18 @@ def test_round5c_queries_empty(empty_sf_dir):
 
     assert QUERIES["doc_langid"](empty_sf_dir).count() == 0
     assert QUERIES["doc_substring_dups"](empty_sf_dir).count() == 0
+
+
+def test_pmi_and_inverted_index_empty(empty_sf_dir):
+    """Both emit corpus-level top-K tables — an empty corpus yields zero
+    rows with the declared (typed) schemas, matching their SQL oracles."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    pmi = QUERIES["doc_pmi_collocations"](empty_sf_dir)
+    assert pmi.count() == 0
+    assert set(pmi.schema().names) == {
+        "bigram", "n_pair", "n_left", "n_right", "pmi"
+    }
+    idx = QUERIES["doc_inverted_index"](empty_sf_dir)
+    assert idx.count() == 0
+    assert set(idx.schema().names) == {"token", "df", "cf", "top_doc", "top_tf"}
