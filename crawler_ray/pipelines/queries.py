@@ -6235,6 +6235,52 @@ WHERE b.doc_id IS NULL OR n.doc_id IS NULL OR b.text <> n.text
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 100
 
+PMI_DOC_BATCH = 1 << 15
+"""Documents per corpus-bigram partial batch: ~1.3M tokens at 40-token
+docs (a few MB of flat strings), big enough that hot bigrams collapse
+well inside the batch before the exchange."""
+
+
+def _corpus_bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch CORPUS bigram partials — (w1, bg, n, occ) with no doc_id
+    (PMI keeps no per-document state, unlike `_doc_bigrams`): real rows
+    carry the batch-local pair count in both n and occ; one sentinel row
+    per distinct final token (bg='', n=0) carries occ = how many of the
+    batch's docs end with it, so sum(occ) per token counts every corpus
+    occurrence.  Fully vectorized: one flat token array, a same-doc mask
+    for pair positions, two hash groupbys."""
+    cols = {"w1": object, "bg": object, "n": np.int64, "occ": np.int64}
+    if not len(df):
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+    lens = toks.map(len).to_numpy()
+    if lens.sum() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+    ids = np.repeat(np.arange(len(df)), lens)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+    same = ids[:-1] == ids[1:] if len(flat) > 1 else np.array([], bool)
+    pos = np.nonzero(same)[0]
+    real = (
+        pd.DataFrame({"w1": flat[pos], "bg": flat[pos] + " " + flat[pos + 1]})
+        .groupby("bg", sort=False)
+        .agg(n=("w1", "size"), w1=("w1", "first"))
+        .reset_index()
+    )
+    real["n"] = real["n"].astype(np.int64)
+    real["occ"] = real["n"]
+    last = np.cumsum(lens[lens > 0]) - 1
+    sent = (
+        pd.Series(flat[last]).value_counts(sort=False).rename_axis("w1")
+        .reset_index(name="occ")
+    )
+    sent["bg"] = ""
+    sent["n"] = np.int64(0)
+    sent["occ"] = sent["occ"].astype(np.int64)
+    return pd.concat(
+        [real[["w1", "bg", "n", "occ"]], sent[["w1", "bg", "n", "occ"]]],
+        ignore_index=True,
+    )
+
 
 def q_doc_pmi_collocations(sf_dir: str):
     """Top-PMI adjacent-token collocations (Church & Hanks 1990, Comp.
@@ -6243,42 +6289,43 @@ def q_doc_pmi_collocations(sf_dir: str):
     p(ab) = c(ab)/N_bigrams and p(w) = c(w)/N_tokens, over pairs with
     c(ab) >= PMI_MIN_COUNT, top PMI_TOP_K by (pmi DESC, bigram ASC).
 
-    Plan: the per-doc bigram pass (`_doc_bigrams`, shared with
-    q_doc_bigram_lm) tokenizes the corpus ONCE; two keyed exchanges then
-    resolve every count without a join or a broadcast (a 100-TB bigram
-    vocabulary fits neither).  Exchange 1 buckets the stream by w1: all
-    rows of a left token co-locate, so the bigram count c(w1,w2) reduces
-    in-bucket per bg, the unigram count c(w1) reduces from sum(n) plus
-    the final-token sentinels (`_doc_bigrams` emits bg='' / n=0 rows so
-    the w1 column covers EVERY token occurrence — count a sentinel as 1),
-    and each bucket emits the min-count survivors with c_left attached
-    PLUS one (token, c) unigram side row per distinct token (global
-    counts: the bucket holds every row of its tokens).  Exchange 2
-    buckets the UNION of survivors (keyed by w2) and unigram rows (keyed
-    by token): c_right resolves by an in-bucket merge, PMI computes with
-    the two broadcast scalar totals, each bucket emits its local top-K,
-    and a final sort-limit over the bounded n_buckets x K rows picks the
+    Plan: PMI needs NO per-document state, so the tokenize pass emits
+    per-batch PARTIAL counts directly — (w1, bg, n, occ) rows where real
+    bigram rows carry n = occ = the batch-local pair count and one
+    sentinel row per (batch, final token) carries occ = the count of
+    docs ending with it (so summing occ over a token's rows counts EVERY
+    corpus occurrence) — collapsing the exchange volume from one row per
+    bigram occurrence to one per distinct-bigram-per-batch.  Two keyed
+    exchanges then resolve every count without a join or a broadcast (a
+    100-TB bigram vocabulary fits neither).  Exchange 1 buckets the
+    partial stream by w1: all rows of a left token co-locate, so
+    c(w1,w2) reduces in-bucket per bg, c(w1) reduces from sum(occ), and
+    each bucket emits the min-count survivors with c_left attached PLUS
+    one (token, c) unigram side row per distinct token (global counts:
+    the bucket holds every row of its tokens).  Exchange 2 buckets the
+    UNION of survivors (keyed by w2) and unigram rows (keyed by token):
+    c_right resolves by an in-bucket merge, PMI computes with the two
+    broadcast scalar totals, each bucket emits its local top-K, and a
+    final sort-limit over the bounded n_buckets x K rows picks the
     global answer.  Reference corpus analytics live in its SQL layer
     (crawler/db/query/pages.sql); this is the Ray-native equivalent."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    dbg_all = ds.map_batches(_doc_bigrams, batch_format="pandas").materialize()
-
-    # scalar totals: one narrow partial-sum pass over the pinned bigram
-    # blocks (N_bg = real-bigram occurrences; N_tok = token occurrences)
-    def _tot_partial(df: pd.DataFrame) -> pd.DataFrame:
-        real = df["bg"].to_numpy() != ""
-        n = df["n"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {"nbg": [int(n[real].sum())],
-             "ntok": [int(n[real].sum() + (~real).sum())]}
-        )
+    partials = ds.map_batches(
+        _corpus_bigram_partials, batch_format="pandas",
+        batch_size=PMI_DOC_BATCH,
+    ).materialize()
 
     out_schema = {
         "bigram": pa.string(), "n_pair": pa.int64(), "n_left": pa.int64(),
         "n_right": pa.int64(), "pmi": pa.float64(),
     }
-    tot = dbg_all.map_batches(
-        _tot_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
+    # scalar totals off the pinned partials: sentinel rows have n = 0, so
+    # sum(n) is exactly the real-bigram total and sum(occ) the token total
+    tot = partials.map_batches(
+        lambda df: pd.DataFrame(
+            {"nbg": [int(df["n"].sum())], "ntok": [int(df["occ"].sum())]}
+        ),
+        batch_format="pandas", batch_size=PARTIAL_BATCH,
     ).sum(["nbg", "ntok"])
     if not tot or not tot.get("sum(nbg)"):
         return _typed_empty(out_schema)  # empty corpus / no bigrams
@@ -6288,37 +6335,25 @@ def q_doc_pmi_collocations(sf_dir: str):
         (_meta_col_bytes(sf_dir, "documents", "text") or 0) // 6 or None
     )
     mask = np.uint64(n_buckets - 1)
-    _UNION_COLS = {"key": object, "bigram": object, "n_pair": np.int64,
-                   "n_left": np.int64, "c": np.int64, "role": np.int64}
-
-    def _empty_union() -> pd.DataFrame:
-        return pd.DataFrame(
-            {k: pd.Series([], dtype=t) for k, t in _UNION_COLS.items()}
-        )
 
     def bucket_w1(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df["w1"], index=False).to_numpy()
         return df.assign(__b=(h & mask).astype(np.int64))
 
     def resolve_left(df: pd.DataFrame) -> pd.DataFrame:
-        real_mask = df["bg"].to_numpy() != ""
-        n_occ = np.where(real_mask, df["n"].to_numpy(np.int64), 1)
-        cw = (
-            pd.DataFrame({"w1": df["w1"].to_numpy(object), "n_occ": n_occ})
-            .groupby("w1", sort=False)["n_occ"].sum()
-        )
+        cw = df.groupby("w1", sort=False)["occ"].sum()
         uni = pd.DataFrame(
             {"key": cw.index.to_numpy(object), "bigram": "",
              "n_pair": np.int64(0), "n_left": np.int64(0),
              "c": cw.to_numpy(np.int64), "role": np.int64(0)}
         )
-        gb = (
-            df[real_mask]
-            .groupby(["w1", "bg"], sort=False, as_index=False)["n"].sum()
-        )
+        real = df[df["bg"].to_numpy() != ""]
+        gb = real.groupby("bg", sort=False).agg(
+            n=("n", "sum"), w1=("w1", "first")
+        ).reset_index()
         surv = gb[gb["n"].to_numpy() >= PMI_MIN_COUNT]
         if surv.empty:
-            return pd.concat([uni, _empty_union()]) if len(uni) else _empty_union()
+            return uni
         # tokens are \S+, so the bigram's FIRST space splits it exactly
         w2 = surv["bg"].str.split(" ", n=1).str[1].to_numpy(object)
         sv = pd.DataFrame(
@@ -6360,7 +6395,7 @@ def q_doc_pmi_collocations(sf_dir: str):
         ).head(PMI_TOP_K)
 
     topk = (
-        dbg_all.map_batches(
+        partials.map_batches(
             bucket_w1, batch_format="pandas", batch_size=PARTIAL_BATCH
         )
         .groupby("__b")
@@ -6413,11 +6448,14 @@ def q_doc_inverted_index(sf_dir: str):
 
     Plan: the per-doc TF pass (`_doc_tf`, shared with TF-IDF/BM25) is
     batch-local (a document never splits across rows), so (doc_id, token)
-    rows are globally unique; ONE token-keyed bucketed exchange then
-    reduces df (row count), cf (sum tf) and the argmax posting per token
-    inside a single vectorized pandas pass, emits each bucket's local
-    top-K, and a bounded sort-limit picks the global top-K.  Integer-only
-    output: the oracle compare is exact."""
+    rows are globally unique and every per-token statistic is MERGEABLE —
+    a second per-batch pass collapses the tf stream to one
+    (token, df, cf, top_doc, top_tf) partial per distinct token per
+    batch BEFORE the exchange; ONE token-keyed bucketed combine then
+    merges the partials (df/cf by sum, the head posting by
+    max-tf-then-min-doc), emits each bucket's local top-K, and a bounded
+    sort-limit picks the global top-K.  Integer-only output: the oracle
+    compare is exact."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
     n_buckets = n_buckets_for_rows(
@@ -6429,32 +6467,41 @@ def q_doc_inverted_index(sf_dir: str):
         "top_doc": pa.int64(), "top_tf": pa.int64(),
     }
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
-        return df.assign(__b=(h & mask).astype(np.int64))
-
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby("token", sort=False).agg(
-            df_=("tf", "size"), cf=("tf", "sum")
-        )
-        head = (
-            df.sort_values(["tf", "doc_id"], ascending=[False, True],
+    def _merge_topstats(df: pd.DataFrame, dfc: str, cfc: str) -> pd.DataFrame:
+        """Group by token; sum df/cf, keep the (top_tf DESC, top_doc ASC)
+        head row — exact for both raw (doc,token,tf) rows and partials."""
+        s = df.sort_values(["top_tf", "top_doc"], ascending=[False, True],
                            kind="mergesort")
-            .groupby("token", sort=False)
-            .first()
-            .rename(columns={"doc_id": "top_doc", "tf": "top_tf"})
-        )
-        out = agg.join(head).reset_index()
-        out = out.rename(columns={"df_": "df"})
+        out = s.groupby("token", sort=False).agg(
+            df=(dfc, "sum"), cf=(cfc, "sum"),
+            top_doc=("top_doc", "first"), top_tf=("top_tf", "first"),
+        ).reset_index()
         for c in ("df", "cf", "top_doc", "top_tf"):
             out[c] = out[c].astype(np.int64)
+        return out
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype=np.int64)
+                    for c in ("df", "cf", "top_doc", "top_tf")}}
+            )
+        df = df.rename(columns={"doc_id": "top_doc", "tf": "top_tf"})
+        df = df.assign(__one=np.int64(1))
+        p = _merge_topstats(df, "__one", "top_tf")
+        h = pd.util.hash_pandas_object(p["token"], index=False).to_numpy()
+        return p.assign(__b=(h & mask).astype(np.int64))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_topstats(df, "df", "cf")
         return out.sort_values(
             ["df", "token"], ascending=[False, True], kind="mergesort"
         ).head(INVIDX_TOP_K)[["token", "df", "cf", "top_doc", "top_tf"]]
 
     topk = (
         tf_rows.map_batches(
-            bucketize, batch_format="pandas", batch_size=PARTIAL_BATCH
+            tf_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
         )
         .groupby("__b")
         .map_groups(combine, batch_format="pandas")
