@@ -136,6 +136,11 @@ BENCH_QUERIES = [
     # exact substring duplication coverage: rolling-hash windows, two
     # keyed exchanges, per-doc interval union
     "doc_substring_dups",
+    # PMI collocations: per-batch (w1,bg) partials, two keyed exchanges
+    "doc_pmi_collocations",
+    # inverted-index posting stats: mergeable per-batch token partials,
+    # one token-keyed bucketed combine
+    "doc_inverted_index",
 ]
 
 

@@ -6535,6 +6535,83 @@ LIMIT {INVIDX_TOP_K}
 """
 
 
+CHUNK_SIZE = 32
+"""Tokens per chunk for q_doc_chunk (a pretrain/RAG context window)."""
+CHUNK_STRIDE = 24
+"""Chunk start stride: CHUNK_SIZE - CHUNK_STRIDE = 8 tokens of overlap."""
+
+
+def q_doc_chunk(sf_dir: str):
+    """Fixed-size token-window chunking with overlap — the context-window
+    prep every RAG / pretraining pipeline runs before embedding or
+    packing (cf. q_doc_pack_sequences, which budgets WHOLE docs; this
+    SPLITS them).  A chunk starts at every multiple of CHUNK_STRIDE
+    below the doc's token count and takes the next CHUNK_SIZE tokens
+    (the last chunks run short rather than padding), so consecutive
+    chunks share CHUNK_SIZE - CHUNK_STRIDE tokens of context.
+
+    Plan: stateless zero-shuffle flat map.  One tokenize pass per batch;
+    chunk starts derive vectorized from the per-doc token counts
+    (np.repeat over ceil(n/stride)); the only per-CHUNK Python work is
+    the ' '.join that materializes each chunk's text, which is O(output
+    bytes) — the output IS those strings.  At 100 TB nothing shuffles
+    and nothing is driver-side; downstream stages consume the chunk
+    stream with backpressure.  Reference corpus prep lives in its SQL
+    layer (crawler/db/query/pages.sql); this is the Ray-native
+    equivalent of the windowed-text shapes it feeds to indexing."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    cols = {"doc_id": np.int64, "chunk_idx": np.int64,
+            "n_tokens": np.int64, "chunk_text": object}
+
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=t) for c, t in cols.items()}
+        )
+        if not len(df):
+            return empty
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        lens = toks.map(len).to_numpy(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return empty
+        tl = toks.to_numpy(object)[keep]
+        lens = lens[keep]
+        ids = df["doc_id"].to_numpy(np.int64)[keep]
+        n_chunks = -(-lens // CHUNK_STRIDE)  # ceil
+        doc_of = np.repeat(np.arange(len(tl)), n_chunks)
+        # chunk_idx within each doc: global arange minus each doc's offset
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))
+        cidx = np.arange(int(cum[-1]), dtype=np.int64) - cum[doc_of]
+        starts = cidx * CHUNK_STRIDE
+        n_tok = np.minimum(lens[doc_of] - starts, CHUNK_SIZE)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[doc_of],
+                "chunk_idx": cidx,
+                "n_tokens": n_tok,
+                "chunk_text": [
+                    " ".join(tl[d][s : s + CHUNK_SIZE])
+                    for d, s in zip(doc_of, starts)
+                ],
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
+SQL_DOC_CHUNK = f"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents WHERE trim(text) <> ''),
+st AS (SELECT doc_id, ts, unnest(range(0, len(ts), {CHUNK_STRIDE})) AS s
+       FROM toks)
+SELECT doc_id, (s / {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       least(len(ts) - s, {CHUNK_SIZE})::BIGINT AS n_tokens,
+       array_to_string(ts[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+FROM st
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -6577,7 +6654,10 @@ QUERIES = {
     # to the tail: the ANN family keeps IVF in the window)
     "doc_pack_sequences": q_doc_pack_sequences,
     "knn_ann_ivf": q_knn_ann_ivf,
-    "emb_label_stats": q_emb_label_stats,
+    # doc_chunk is a NEW corpus-prep family (context-window splitting);
+    # emb_label_stats moved to the tail — plain groupby-agg with
+    # doc_source_stats already captured for the family
+    "doc_chunk": q_doc_chunk,
     # inverted-index posting stats replace url_normalize in the window
     # (driver-green r1-r4; still oracle-tested in-repo at the tail)
     "doc_inverted_index": q_doc_inverted_index,
@@ -6647,6 +6727,7 @@ QUERIES = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "part_brand_stats": q_part_brand_stats,
     "doc_fingerprints": q_doc_fingerprints,
+    "emb_label_stats": q_emb_label_stats,
     "url_normalize": q_url_normalize,
 }
 
@@ -6680,6 +6761,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": SQL_KNN,
         "emb_similar_pairs": SQL_EMB_PAIRS,
         "emb_label_stats": SQL_EMB_LABEL_STATS,
+        "doc_chunk": SQL_DOC_CHUNK,
         "url_normalize": _sql_url_normalize(),
         "doc_simhash_bands": SQL_DOC_SIMHASH_BANDS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
