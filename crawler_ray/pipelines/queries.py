@@ -6612,6 +6612,167 @@ FROM st
 """
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", NeurIPS): score every document by the log-likelihood
+    ratio of a TARGET-domain unigram LM over the REST-of-corpus LM, both
+    add-one smoothed over the shared vocabulary — the weights a pipeline
+    resamples against to tilt 100 TB of crawl toward a target domain.
+    Target domain = the lexicographically smallest ``source`` (a
+    deterministic stand-in for "the curated seed corpus").
+
+        w(doc) = sum_tok tf * [ln(c_T(tok)+1) - ln(c_B(tok)+1)]
+                 - n_tokens(doc) * [ln(N_T+V) - ln(N_B+V)]
+
+    The second term needs only global scalars, so the plan is ONE
+    token-keyed bucketed exchange (all rows of a token co-locate, so
+    c_T / c_B resolve in-bucket and the per-doc partial scores emit
+    directly — the bigram-LM pattern, queries.py::q_doc_bigram_lm), one
+    narrow distinct exchange for V, two scalar sums for N_T / N_B, and a
+    doc-keyed combine.  No joins, no vocabulary broadcast: a 100-TB
+    token vocabulary fits neither.  Reference corpus analytics live in
+    its SQL layer (crawler/db/query/pages.sql); this is the Ray-native
+    selection stage built on them."""
+    from crawler_ray.stages.combine import bucketed_distinct
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    # target source: bounded distinct (|sources| rows) -> driver min
+    src_rows = bucketed_distinct(
+        ds.select_columns(["source"]), "source"
+    ).take_all()
+    out_schema = {"doc_id": pa.int64(), "n_tokens": pa.int64(),
+                  "logratio": pa.float64()}
+    if not src_rows:
+        return _typed_empty(out_schema)
+    target = min(r["source"] for r in src_rows)
+
+    _tf_cols = {"doc_id": np.int64, "tgt": np.int64,
+                "token": object, "tf": np.int64}
+
+    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _tf_cols.items()}
+            )
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        lens = toks.map(len).to_numpy()
+        ex = pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), lens),
+                "tgt": np.repeat(
+                    (df["source"].to_numpy(object) == target).astype(
+                        np.int64
+                    ),
+                    lens,
+                ),
+                "token": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks]
+                    or [np.empty(0, object)]
+                ),
+            }
+        )
+        tf = (
+            ex.groupby(["doc_id", "tgt", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf
+
+    # pin once: scalars, V, and the keyed exchange all read this stream
+    tf_all = ds.map_batches(tf_partial, batch_format="pandas").materialize()
+    vocab_n = bucketed_distinct(tf_all, "token").count()
+    if vocab_n == 0:
+        return _typed_empty(out_schema)
+    tot = tf_all.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "nt": [int(df["tf"].to_numpy()[df["tgt"].to_numpy() == 1].sum())],
+                "nb": [int(df["tf"].to_numpy()[df["tgt"].to_numpy() == 0].sum())],
+            }
+        ),
+        batch_format="pandas", batch_size=PARTIAL_BATCH,
+    ).sum(["nt", "nb"])
+    n_t, n_b = float(tot["sum(nt)"]), float(tot["sum(nb)"])
+    correction = np.log(n_t + vocab_n) - np.log(n_b + vocab_n)
+
+    n_buckets = n_buckets_for_rows(
+        (_meta_col_bytes(sf_dir, "documents", "text") or 0) // 6 or None
+    )
+    mask = np.uint64(n_buckets - 1)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        return df.assign(__b=(h & mask).astype(np.int64))
+
+    def partial_scores(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a token co-locate here: global c_T / c_B in-bucket
+        tgt = df["tgt"].to_numpy(np.int64)
+        tfv = df["tf"].to_numpy(np.int64)
+        g = df.assign(
+            __ct=np.where(tgt == 1, tfv, 0), __cb=np.where(tgt == 0, tfv, 0)
+        ).groupby("token", sort=False)[["__ct", "__cb"]].transform("sum")
+        lr = tfv.astype(np.float64) * (
+            np.log(g["__ct"].to_numpy(np.float64) + 1.0)
+            - np.log(g["__cb"].to_numpy(np.float64) + 1.0)
+        )
+        return (
+            df.assign(__lr=lr)
+            .groupby("doc_id", sort=False, as_index=False)
+            .agg(n_tokens=("tf", "sum"), s=("__lr", "sum"))
+        )
+
+    agg = _bucketed_combine(
+        tf_all.map_batches(
+            bucketize, batch_format="pandas", batch_size=PARTIAL_BATCH
+        )
+        .groupby("__b")
+        .map_groups(partial_scores, batch_format="pandas"),
+        ["doc_id"],
+        {"n_tokens": ("n_tokens", "sum"), "s": ("s", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": n,
+                "logratio": duck_round(
+                    df["s"].to_numpy(np.float64)
+                    - n.astype(np.float64) * correction,
+                    6,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_DOC_DSIR = """
+WITH d AS (SELECT doc_id,
+                  source = (SELECT min(source) FROM documents) AS tgt,
+                  string_split_regex(trim(text), '\\s+') AS ts
+           FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, tgt, t, COUNT(*) AS n
+       FROM (SELECT doc_id, tgt, unnest(ts) AS t FROM d) GROUP BY 1, 2, 3),
+g AS (SELECT t, SUM(CASE WHEN tgt THEN n ELSE 0 END) AS ct,
+             SUM(CASE WHEN NOT tgt THEN n ELSE 0 END) AS cb
+      FROM tf GROUP BY 1),
+s AS (SELECT SUM(CASE WHEN tgt THEN n ELSE 0 END) AS nt,
+             SUM(CASE WHEN NOT tgt THEN n ELSE 0 END) AS nb,
+             COUNT(DISTINCT t) AS v
+      FROM tf)
+SELECT tf.doc_id, SUM(tf.n)::BIGINT AS n_tokens,
+       ROUND(SUM(tf.n * (ln(g.ct + 1.0) - ln(g.cb + 1.0)))
+             - SUM(tf.n) * (ln(s.nt + s.v) - ln(s.nb + s.v)), 6)
+         AS logratio
+FROM tf JOIN g USING (t), s
+GROUP BY tf.doc_id, s.nt, s.nb, s.v
+"""
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -6658,12 +6819,15 @@ QUERIES = {
     # emb_label_stats moved to the tail — plain groupby-agg with
     # doc_source_stats already captured for the family
     "doc_chunk": q_doc_chunk,
+    # doc_dsir_weights is a NEW selection family (importance resampling);
+    # workflow_api moved to the tail — the workflow family keeps
+    # workflow_scrape as its captured representative
+    "doc_dsir_weights": q_doc_dsir_weights,
     # inverted-index posting stats replace url_normalize in the window
     # (driver-green r1-r4; still oracle-tested in-repo at the tail)
     "doc_inverted_index": q_doc_inverted_index,
     "crawl_documents": q_crawl_documents,
     "workflow_scrape": q_workflow_scrape,
-    "workflow_api": q_workflow_api,
     "media_decode": q_media_decode,
     "event_user_hll": q_event_user_hll,
     "doc_sample": q_doc_sample,
@@ -6728,6 +6892,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "emb_label_stats": q_emb_label_stats,
+    "workflow_api": q_workflow_api,
     "url_normalize": q_url_normalize,
 }
 
@@ -6762,6 +6927,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_similar_pairs": SQL_EMB_PAIRS,
         "emb_label_stats": SQL_EMB_LABEL_STATS,
         "doc_chunk": SQL_DOC_CHUNK,
+        "doc_dsir_weights": SQL_DOC_DSIR,
         "url_normalize": _sql_url_normalize(),
         "doc_simhash_bands": SQL_DOC_SIMHASH_BANDS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
