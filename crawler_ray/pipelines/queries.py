@@ -6773,6 +6773,210 @@ GROUP BY tf.doc_id, s.nt, s.nb, s.v
 """
 
 
+BPE_MERGE_ROUNDS = 8
+"""Merge rounds for q_doc_bpe_merges (each round learns one merge)."""
+
+
+def q_doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer training, distributed (Sennrich, Haddow & Birch
+    2016, "Neural Machine Translation of Rare Words with Subword Units",
+    ACL): learn the first BPE_MERGE_ROUNDS merge rules over the corpus —
+    the tokenizer-fitting stage of an LLM data pipeline.  Round r counts
+    every adjacent symbol pair over the word vocabulary weighted by word
+    frequency (overlapping occurrences all count, per the original
+    get_stats), picks the (n DESC, s1 ASC, s2 ASC) argmax, and applies
+    the merge left-to-right non-overlapping inside every word.  Output:
+    one row per learned merge (merge_rank, s1, s2, n); rounds stop early
+    if no pair remains.
+
+    Plan: ONE corpus-scale exchange total — the word-vocabulary build
+    (per-batch token counts -> bucketed combine).  Everything after is
+    vocabulary-bounded (Heaps' law: |vocab| << corpus): per round, a
+    vectorized pair-partial pass over the symbol state, a (s1, s2)
+    bucketed combine, a per-block local top-1 with an O(blocks) driver
+    pull for the global argmax, and a zero-shuffle merge map that edits
+    only the words the flat-array scan proves contain the pair.  State
+    materializes between rounds exactly like graph_pagerank's ranks (no
+    lineage replay).  Reference corpus analytics live in its SQL layer
+    (crawler/db/query/pages.sql); this is the Ray-native tokenizer-prep
+    stage beyond them."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def word_partials(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"w": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        toks = df["text"].str.strip().str.findall(_TOKEN_RE)
+        vc = pd.Series(
+            np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks]
+                or [np.empty(0, object)]
+            )
+        ).value_counts(sort=False)
+        return pd.DataFrame(
+            {"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    vocab = _bucketed_combine(
+        ds.map_batches(
+            word_partials, batch_format="pandas", batch_size=PARTIAL_BATCH
+        ),
+        ["w"],
+        {"freq": ("n", "sum")},
+    )
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ls": [list(w) for w in df["w"].to_numpy(object)],
+                "freq": df["freq"].astype(np.int64),
+            }
+        )
+
+    state = vocab.map_batches(to_syms, batch_format="pandas").materialize()
+
+    _p_cols = {"s1": object, "s2": object, "n": np.int64}
+
+    def _flat(df: pd.DataFrame):
+        syms = df["ls"].to_numpy(object)
+        lens = np.fromiter((len(x) for x in syms), np.int64, len(syms))
+        if not len(lens) or lens.sum() == 0:
+            return None
+        flat = np.concatenate(
+            [np.asarray(list(x), dtype=object) for x in syms if len(x)]
+        )
+        wid = np.repeat(np.arange(len(syms)), lens)
+        pos = np.nonzero(wid[:-1] == wid[1:])[0] if len(flat) > 1 else (
+            np.empty(0, np.int64)
+        )
+        return syms, flat, wid, pos
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        f = _flat(df)
+        if f is None or not len(f[3]):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _p_cols.items()}
+            )
+        syms, flat, wid, pos = f
+        freq = df["freq"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {"s1": flat[pos], "s2": flat[pos + 1], "n": freq[wid[pos]]}
+            )
+            .groupby(["s1", "s2"], sort=False, as_index=False)["n"].sum()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "s1", "s2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(1)
+
+    def apply_merge(df: pd.DataFrame, a: str, b: str) -> pd.DataFrame:
+        f = _flat(df)
+        if f is None:
+            return df
+        syms, flat, wid, pos = f
+        hit = pos[(flat[pos] == a) & (flat[pos + 1] == b)] if len(pos) else pos
+        if not len(hit):
+            return df
+        merged = a + b
+        # the flat scan bounds the Python work to words that contain the
+        # pair; the per-word scan is the reference left-to-right
+        # non-overlapping merge (original BPE merge_vocab)
+        out = list(df["ls"].to_numpy(object))
+        for w in np.unique(wid[hit]):
+            ls, new, i, n = out[w], [], 0, len(out[w])
+            while i < n:
+                if i < n - 1 and ls[i] == a and ls[i + 1] == b:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(ls[i])
+                    i += 1
+            out[int(w)] = new
+        return pd.DataFrame({"ls": out, "freq": df["freq"].astype(np.int64)})
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        pairs = _bucketed_combine(
+            state.map_batches(
+                pair_partials, batch_format="pandas",
+                batch_size=PARTIAL_BATCH,
+            ),
+            ["s1", "s2"],
+            {"n": ("n", "sum")},
+        )
+        loc = pairs.map_batches(local_top1, batch_format="pandas").take_all()
+        if not loc:
+            break
+        best = min(loc, key=lambda x: (-x["n"], x["s1"], x["s2"]))
+        merges.append((r, best["s1"], best["s2"], int(best["n"])))
+        state = state.map_batches(
+            lambda df, a=best["s1"], b=best["s2"]: apply_merge(df, a, b),
+            batch_format="pandas",
+        ).materialize()
+    return pd.DataFrame(
+        merges, columns=["merge_rank", "s1", "s2", "n"]
+    ).astype({"merge_rank": np.int64, "n": np.int64})
+
+
+def _sql_doc_bpe_merges() -> str:
+    """DuckDB replay of q_doc_bpe_merges, recursion-free: the
+    left-to-right non-overlapping merge has a closed form — group the
+    pair-match positions of each word into runs of CONSECUTIVE indices
+    (overlaps), keep the odd-ranked match of every run, drop the symbol
+    right of each kept match, and rewrite the kept position to the
+    merged symbol.  Per-round CTEs are MATERIALIZED so each state is
+    computed once."""
+    parts = ["""WITH v AS (
+  SELECT w, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> '')
+  GROUP BY 1),
+s0 AS (SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+              regexp_extract_all(w, '.') AS ls, freq FROM v)"""]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT ls[i] AS s1, ls[i + 1] AS s2, SUM(freq) AS n
+  FROM (SELECT ls, freq, unnest(range(1, len(ls))) AS i FROM s{r - 1})
+  GROUP BY 1, 2),
+b{r} AS MATERIALIZED (
+  SELECT s1, s2, n FROM p{r} ORDER BY n DESC, s1, s2 LIMIT 1),
+x{r} AS MATERIALIZED (
+  SELECT wid, freq, unnest(range(1, len(ls) + 1)) AS i, unnest(ls) AS s
+  FROM s{r - 1}),
+k{r} AS MATERIALIZED (
+  SELECT wid, i FROM (
+    SELECT wid, i, ROW_NUMBER() OVER (PARTITION BY wid, rg ORDER BY i) AS rn
+    FROM (SELECT a.wid, a.i,
+                 a.i - ROW_NUMBER() OVER (PARTITION BY a.wid ORDER BY a.i)
+                   AS rg
+          FROM x{r} a
+          JOIN x{r} c ON c.wid = a.wid AND c.i = a.i + 1, b{r} t
+          WHERE a.s = t.s1 AND c.s = t.s2))
+  WHERE rn % 2 = 1),
+s{r} AS MATERIALIZED (
+  SELECT x.wid, any_value(x.freq) AS freq,
+         list(CASE WHEN k1.i IS NOT NULL THEN t.s1 || t.s2 ELSE x.s END
+              ORDER BY x.i) AS ls
+  FROM x{r} x
+  CROSS JOIN b{r} t
+  LEFT JOIN k{r} k1 ON k1.wid = x.wid AND k1.i = x.i
+  LEFT JOIN k{r} k2 ON k2.wid = x.wid AND k2.i = x.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY x.wid)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {r}::BIGINT AS merge_rank, s1, s2, n::BIGINT AS n FROM b{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return ",\n".join(parts) + "\n" + finals
+
+
 # Registry order matters to the DRIVER (it captures the first 50 entries
 # for its independent oracle compare); tests/test_oracle.py checks ALL
 # entries regardless of position.  The first 50 therefore hold one
@@ -6793,7 +6997,6 @@ QUERIES = {
     "priority_scores": q_priority_scores,
     "doc_exact_dedup": q_doc_exact_dedup,
     "prepare_corpus": q_prepare_corpus,
-    "doc_source_stats": q_doc_source_stats,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     # doc_langid is a NEW family (text analysis: language ID);
@@ -6823,6 +7026,10 @@ QUERIES = {
     # workflow_api moved to the tail — the workflow family keeps
     # workflow_scrape as its captured representative
     "doc_dsir_weights": q_doc_dsir_weights,
+    # doc_bpe_merges is a NEW tokenizer-training family (iterative BPE);
+    # doc_source_stats moved to the tail — plain groupby-agg with
+    # pricing_summary already captured for the family
+    "doc_bpe_merges": q_doc_bpe_merges,
     # inverted-index posting stats replace url_normalize in the window
     # (driver-green r1-r4; still oracle-tested in-repo at the tail)
     "doc_inverted_index": q_doc_inverted_index,
@@ -6892,6 +7099,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "emb_label_stats": q_emb_label_stats,
+    "doc_source_stats": q_doc_source_stats,
     "workflow_api": q_workflow_api,
     "url_normalize": q_url_normalize,
 }
@@ -6928,6 +7136,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_stats": SQL_EMB_LABEL_STATS,
         "doc_chunk": SQL_DOC_CHUNK,
         "doc_dsir_weights": SQL_DOC_DSIR,
+        "doc_bpe_merges": _sql_doc_bpe_merges(),
         "url_normalize": _sql_url_normalize(),
         "doc_simhash_bands": SQL_DOC_SIMHASH_BANDS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,

@@ -118,3 +118,23 @@ def test_pmi_and_inverted_index_empty(empty_sf_dir):
     idx = QUERIES["doc_inverted_index"](empty_sf_dir)
     assert idx.count() == 0
     assert set(idx.schema().names) == {"token", "df", "cf", "top_doc", "top_tf"}
+
+
+def test_round5d_queries_empty(empty_sf_dir):
+    """doc_chunk / doc_dsir_weights / doc_pmi_collocations /
+    doc_inverted_index / doc_bpe_merges all emit zero rows on a zero-row
+    corpus, matching their oracles."""
+    from crawler_ray.pipelines.queries import QUERIES
+
+    for name in (
+        "doc_chunk",
+        "doc_dsir_weights",
+        "doc_pmi_collocations",
+        "doc_inverted_index",
+    ):
+        out = QUERIES[name](empty_sf_dir)
+        assert out.count() == 0, name
+
+    bpe = QUERIES["doc_bpe_merges"](empty_sf_dir)
+    assert len(bpe) == 0
+    assert list(bpe.columns) == ["merge_rank", "s1", "s2", "n"]
