@@ -6776,6 +6776,14 @@ GROUP BY tf.doc_id, s.nt, s.nb, s.v
 BPE_MERGE_ROUNDS = 8
 """Merge rounds for q_doc_bpe_merges (each round learns one merge)."""
 
+BPE_LOCAL_VOCAB = 2_000_000
+"""Vocabulary-size cutover for the merge loop: at or below this many
+distinct words the state fits one driver frame, so the M rounds run
+in-process instead of paying ~3 Dataset-execution floors per round (the
+doc_dup_clusters union-find cutover, applied to BPE).  Above it, the
+distributed per-round exchanges take over; correctness is
+path-invariant (tests/test_oracle_bpe_paths.py pins it)."""
+
 
 def q_doc_bpe_merges(sf_dir: str):
     """BPE tokenizer training, distributed (Sennrich, Haddow & Birch
@@ -6819,13 +6827,15 @@ def q_doc_bpe_merges(sf_dir: str):
             {"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
         )
 
-    vocab = _bucketed_combine(
-        ds.map_batches(
-            word_partials, batch_format="pandas", batch_size=PARTIAL_BATCH
-        ),
-        ["w"],
-        {"freq": ("n", "sum")},
-    )
+    # Pin the tokenize output BEFORE the combine (the _doc_bigrams /
+    # _doc_tf pinning pattern): fed streaming, Ray fuses this map with
+    # the combiner's PARTIAL_BATCH-sized bucketize map and the fused
+    # task coalesces the whole corpus into one serial tokenize (measured
+    # 20s -> 1.6s at 20M tokens for this stage)
+    parts = ds.map_batches(
+        word_partials, batch_format="pandas"
+    ).materialize()
+    vocab = _bucketed_combine(parts, ["w"], {"freq": ("n", "sum")})
 
     def to_syms(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -6902,24 +6912,41 @@ def q_doc_bpe_merges(sf_dir: str):
         return pd.DataFrame({"ls": out, "freq": df["freq"].astype(np.int64)})
 
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(1, BPE_MERGE_ROUNDS + 1):
-        pairs = _bucketed_combine(
-            state.map_batches(
-                pair_partials, batch_format="pandas",
-                batch_size=PARTIAL_BATCH,
-            ),
-            ["s1", "s2"],
-            {"n": ("n", "sum")},
-        )
-        loc = pairs.map_batches(local_top1, batch_format="pandas").take_all()
-        if not loc:
-            break
-        best = min(loc, key=lambda x: (-x["n"], x["s1"], x["s2"]))
-        merges.append((r, best["s1"], best["s2"], int(best["n"])))
-        state = state.map_batches(
-            lambda df, a=best["s1"], b=best["s2"]: apply_merge(df, a, b),
-            batch_format="pandas",
-        ).materialize()
+    if state.count() <= BPE_LOCAL_VOCAB:
+        # small vocabulary: the state fits one driver frame, so the M
+        # rounds run in-process on the SAME kernels (pair_partials on
+        # the whole frame IS the global count) — saves ~3 Dataset
+        # execution floors per round; the corpus itself never leaves
+        # the cluster (only the distinct-word table is pulled)
+        df = state.to_pandas()
+        for r in range(1, BPE_MERGE_ROUNDS + 1):
+            pairs = pair_partials(df)
+            if not len(pairs):
+                break
+            b0 = local_top1(pairs).iloc[0]
+            merges.append((r, b0["s1"], b0["s2"], int(b0["n"])))
+            df = apply_merge(df, b0["s1"], b0["s2"])
+    else:
+        for r in range(1, BPE_MERGE_ROUNDS + 1):
+            pairs = _bucketed_combine(
+                state.map_batches(
+                    pair_partials, batch_format="pandas",
+                    batch_size=PARTIAL_BATCH,
+                ),
+                ["s1", "s2"],
+                {"n": ("n", "sum")},
+            )
+            loc = pairs.map_batches(
+                local_top1, batch_format="pandas"
+            ).take_all()
+            if not loc:
+                break
+            best = min(loc, key=lambda x: (-x["n"], x["s1"], x["s2"]))
+            merges.append((r, best["s1"], best["s2"], int(best["n"])))
+            state = state.map_batches(
+                lambda df, a=best["s1"], b=best["s2"]: apply_merge(df, a, b),
+                batch_format="pandas",
+            ).materialize()
     return pd.DataFrame(
         merges, columns=["merge_rank", "s1", "s2", "n"]
     ).astype({"merge_rank": np.int64, "n": np.int64})
