@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     # inverted-index posting stats: mergeable per-batch token partials,
     # one token-keyed bucketed combine
     "doc_inverted_index",
+    # zero-shuffle token-window chunking (RAG/pretrain context prep)
+    "doc_chunk",
+    # DSIR importance weights: one token-keyed exchange + broadcast scalars
+    "doc_dsir_weights",
+    # BPE tokenizer training: one corpus-scale exchange, then
+    # vocabulary-bounded merge rounds
+    "doc_bpe_merges",
 ]
 
 

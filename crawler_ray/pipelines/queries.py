@@ -6242,14 +6242,18 @@ well inside the batch before the exchange."""
 
 
 def _corpus_bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-batch CORPUS bigram partials — (w1, bg, n, occ) with no doc_id
+    """Per-batch CORPUS bigram partials — (w1, w2, n, occ) with no doc_id
     (PMI keeps no per-document state, unlike `_doc_bigrams`): real rows
     carry the batch-local pair count in both n and occ; one sentinel row
-    per distinct final token (bg='', n=0) carries occ = how many of the
+    per distinct final token (w2='', n=0) carries occ = how many of the
     batch's docs end with it, so sum(occ) per token counts every corpus
-    occurrence.  Fully vectorized: one flat token array, a same-doc mask
-    for pair positions, two hash groupbys."""
-    cols = {"w1": object, "bg": object, "n": np.int64, "occ": np.int64}
+    occurrence.  The pair stays SPLIT as (w1, w2) — concatenating the
+    bigram here would both pay one string build per occurrence and ship
+    w1 twice through the exchange; only min-count survivors (bounded)
+    are ever concatenated, inside resolve_left.  Fully vectorized: one
+    flat token array, a same-doc mask for pair positions, two hash
+    groupbys."""
+    cols = {"w1": object, "w2": object, "n": np.int64, "occ": np.int64}
     if not len(df):
         return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
     toks = df["text"].str.strip().str.findall(_TOKEN_RE)
@@ -6261,10 +6265,10 @@ def _corpus_bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
     same = ids[:-1] == ids[1:] if len(flat) > 1 else np.array([], bool)
     pos = np.nonzero(same)[0]
     real = (
-        pd.DataFrame({"w1": flat[pos], "bg": flat[pos] + " " + flat[pos + 1]})
-        .groupby("bg", sort=False)
-        .agg(n=("w1", "size"), w1=("w1", "first"))
-        .reset_index()
+        pd.DataFrame({"w1": flat[pos], "w2": flat[pos + 1]})
+        .groupby(["w1", "w2"], sort=False)
+        .size()
+        .reset_index(name="n")
     )
     real["n"] = real["n"].astype(np.int64)
     real["occ"] = real["n"]
@@ -6273,11 +6277,11 @@ def _corpus_bigram_partials(df: pd.DataFrame) -> pd.DataFrame:
         pd.Series(flat[last]).value_counts(sort=False).rename_axis("w1")
         .reset_index(name="occ")
     )
-    sent["bg"] = ""
+    sent["w2"] = ""
     sent["n"] = np.int64(0)
     sent["occ"] = sent["occ"].astype(np.int64)
     return pd.concat(
-        [real[["w1", "bg", "n", "occ"]], sent[["w1", "bg", "n", "occ"]]],
+        [real[["w1", "w2", "n", "occ"]], sent[["w1", "w2", "n", "occ"]]],
         ignore_index=True,
     )
 
@@ -6290,17 +6294,21 @@ def q_doc_pmi_collocations(sf_dir: str):
     c(ab) >= PMI_MIN_COUNT, top PMI_TOP_K by (pmi DESC, bigram ASC).
 
     Plan: PMI needs NO per-document state, so the tokenize pass emits
-    per-batch PARTIAL counts directly — (w1, bg, n, occ) rows where real
+    per-batch PARTIAL counts directly — (w1, w2, n, occ) rows where real
     bigram rows carry n = occ = the batch-local pair count and one
     sentinel row per (batch, final token) carries occ = the count of
     docs ending with it (so summing occ over a token's rows counts EVERY
     corpus occurrence) — collapsing the exchange volume from one row per
-    bigram occurrence to one per distinct-bigram-per-batch.  Two keyed
-    exchanges then resolve every count without a join or a broadcast (a
-    100-TB bigram vocabulary fits neither).  Exchange 1 buckets the
-    partial stream by w1: all rows of a left token co-locate, so
-    c(w1,w2) reduces in-bucket per bg, c(w1) reduces from sum(occ), and
-    each bucket emits the min-count survivors with c_left attached PLUS
+    bigram occurrence to one per distinct-bigram-per-batch; the
+    bucketize map then RE-reduces each PARTIAL_BATCH coalesced batch so
+    hot pairs collapse across batches before the shuffle (the engine's
+    coalesced-partials rule).  Two keyed exchanges then resolve every
+    count without a join or a broadcast (a 100-TB bigram vocabulary
+    fits neither).  Exchange 1 buckets the partial stream by w1: all
+    rows of a left token co-locate, so c(w1,w2) reduces in-bucket,
+    c(w1) reduces from sum(occ), and each bucket emits the min-count
+    survivors (only these ever concatenate into bigram strings) with
+    c_left attached PLUS
     one (token, c) unigram side row per distinct token (global counts:
     the bucket holds every row of its tokens).  Exchange 2 buckets the
     UNION of survivors (keyed by w2) and unigram rows (keyed by token):
@@ -6337,6 +6345,12 @@ def q_doc_pmi_collocations(sf_dir: str):
     mask = np.uint64(n_buckets - 1)
 
     def bucket_w1(df: pd.DataFrame) -> pd.DataFrame:
+        # re-reduce the coalesced batch before bucketizing: duplicate
+        # (w1, w2) partials from different tokenize batches collapse
+        # here, shrinking the shuffle by ~the batch count for hot pairs
+        df = df.groupby(["w1", "w2"], sort=False, as_index=False)[
+            ["n", "occ"]
+        ].sum()
         h = pd.util.hash_pandas_object(df["w1"], index=False).to_numpy()
         return df.assign(__b=(h & mask).astype(np.int64))
 
@@ -6347,17 +6361,18 @@ def q_doc_pmi_collocations(sf_dir: str):
              "n_pair": np.int64(0), "n_left": np.int64(0),
              "c": cw.to_numpy(np.int64), "role": np.int64(0)}
         )
-        real = df[df["bg"].to_numpy() != ""]
-        gb = real.groupby("bg", sort=False).agg(
-            n=("n", "sum"), w1=("w1", "first")
-        ).reset_index()
+        real = df[df["w2"].to_numpy() != ""]
+        gb = real.groupby(["w1", "w2"], sort=False, as_index=False)[
+            "n"
+        ].sum()
         surv = gb[gb["n"].to_numpy() >= PMI_MIN_COUNT]
         if surv.empty:
             return uni
-        # tokens are \S+, so the bigram's FIRST space splits it exactly
-        w2 = surv["bg"].str.split(" ", n=1).str[1].to_numpy(object)
+        # only survivors (min-count bounded) build bigram strings
+        w1s = surv["w1"].to_numpy(object)
+        w2s = surv["w2"].to_numpy(object)
         sv = pd.DataFrame(
-            {"key": w2, "bigram": surv["bg"].to_numpy(object),
+            {"key": w2s, "bigram": w1s + " " + w2s,
              "n_pair": surv["n"].to_numpy(np.int64),
              "n_left": surv["w1"].map(cw).to_numpy(np.int64),
              "c": np.int64(0), "role": np.int64(1)}
@@ -6449,15 +6464,16 @@ def q_doc_inverted_index(sf_dir: str):
     Plan: the per-doc TF pass (`_doc_tf`, shared with TF-IDF/BM25) is
     batch-local (a document never splits across rows), so (doc_id, token)
     rows are globally unique and every per-token statistic is MERGEABLE —
-    a second per-batch pass collapses the tf stream to one
-    (token, df, cf, top_doc, top_tf) partial per distinct token per
-    batch BEFORE the exchange; ONE token-keyed bucketed combine then
-    merges the partials (df/cf by sum, the head posting by
-    max-tf-then-min-doc), emits each bucket's local top-K, and a bounded
-    sort-limit picks the global top-K.  Integer-only output: the oracle
-    compare is exact."""
+    the SAME map that tokenizes collapses its batch's tf stream to one
+    (token, df, cf, top_doc, top_tf) partial per distinct token (fusing
+    the two passes in one UDF: a separate PARTIAL_BATCH-coalesced
+    partial map would fuse with the tokenizer at the Ray level and
+    serialize the corpus into one task — the q_doc_bpe_merges lesson);
+    ONE token-keyed bucketed combine then merges the partials (df/cf by
+    sum, the head posting by max-tf-then-min-doc), emits each bucket's
+    local top-K, and a bounded sort-limit picks the global top-K.
+    Integer-only output: the oracle compare is exact."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tf_rows = ds.map_batches(_doc_tf, batch_format="pandas")
     n_buckets = n_buckets_for_rows(
         (_meta_col_bytes(sf_dir, "documents", "text") or 0) // 6 or None
     )
@@ -6480,12 +6496,13 @@ def q_doc_inverted_index(sf_dir: str):
             out[c] = out[c].astype(np.int64)
         return out
 
-    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def tf_partial(docs: pd.DataFrame) -> pd.DataFrame:
+        df = _doc_tf(docs)
         if df.empty:
             return pd.DataFrame(
                 {"token": pd.Series([], dtype=object),
                  **{c: pd.Series([], dtype=np.int64)
-                    for c in ("df", "cf", "top_doc", "top_tf")}}
+                    for c in ("df", "cf", "top_doc", "top_tf", "__b")}}
             )
         df = df.rename(columns={"doc_id": "top_doc", "tf": "top_tf"})
         df = df.assign(__one=np.int64(1))
@@ -6500,9 +6517,7 @@ def q_doc_inverted_index(sf_dir: str):
         ).head(INVIDX_TOP_K)[["token", "df", "cf", "top_doc", "top_tf"]]
 
     topk = (
-        tf_rows.map_batches(
-            tf_partial, batch_format="pandas", batch_size=PARTIAL_BATCH
-        )
+        ds.map_batches(tf_partial, batch_format="pandas")
         .groupby("__b")
         .map_groups(combine, batch_format="pandas")
     )
