@@ -152,6 +152,26 @@ def main() -> None:
         out["bpe_rows"] = len(a)
         out["bpe_oracle_exact"] = True
 
+        # ---- BPE distributed path: force past the local-vocab cutover
+        # and require the identical merge table at this scale too ----
+        import crawler_ray.pipelines.queries as _q
+
+        saved = _q.BPE_LOCAL_VOCAB
+        try:
+            _q.BPE_LOCAL_VOCAB = 0
+            t0 = time.time()
+            bpe_d = QUERIES["doc_bpe_merges"](td)
+            out["bpe_dist_wall_s"] = round(time.time() - t0, 1)
+        finally:
+            _q.BPE_LOCAL_VOCAB = saved
+        pd.testing.assert_frame_equal(
+            a,
+            bpe_d.sort_values("merge_rank").reset_index(drop=True)[
+                ["merge_rank", "s1", "s2", "n"]
+            ],
+        )
+        out["bpe_paths_agree"] = True
+
     print(json.dumps(out))
     ray.shutdown()
 
