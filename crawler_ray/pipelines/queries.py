@@ -3708,6 +3708,75 @@ SELECT 'ALL', 'ALL', CAST(SUM(n) AS BIGINT),
 """
 
 
+def q_events_cube(sf_dir: str):
+    """CUBE / full grouping-sets aggregate over (event_type, day-of-week):
+    all four grouping sets — (type, dow), (type), (dow), grand total —
+    completing the rollup/pivot family with the cross-marginal shape.
+    Like q_lineitem_rollup, ONE distributed partial-per-batch pass
+    computes the FINEST level (|types| x 7 groups, bounded); every
+    coarser set derives algebraically from that bounded result (sums of
+    sums) — the cube never rescans or reshuffles the event stream.  The
+    oracle mirrors the same derivation (coarse-from-fine CTE), so the
+    2-dp rounding sees identical partial sums.  dow follows DuckDB's
+    dayofweek(): Sunday = 0."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dow = ((df["ts"].dt.dayofweek + 1) % 7).astype(str)
+        return (
+            df.assign(dow=dow)
+            .groupby(["event_type", "dow"], sort=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=PARTIAL_BATCH)
+        .groupby(["event_type", "dow"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_value", alias_name="sum_value"))
+    ).to_pandas()  # bounded: |types| x 7 groups
+    by_type = (
+        fine.groupby("event_type", as_index=False)[["n", "sum_value"]]
+        .sum()
+        .assign(dow="ALL")
+    )
+    by_dow = (
+        fine.groupby("dow", as_index=False)[["n", "sum_value"]]
+        .sum()
+        .assign(event_type="ALL")
+    )
+    grand = pd.DataFrame(
+        {"event_type": ["ALL"], "dow": ["ALL"], "n": [fine["n"].sum()],
+         "sum_value": [fine["sum_value"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_dow, grand], ignore_index=True)[
+        ["event_type", "dow", "n", "sum_value"]
+    ]
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_value"] = duck_round(out["sum_value"], 2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_EVENTS_CUBE = """
+WITH fine AS (
+  SELECT event_type, CAST(dayofweek(ts) AS VARCHAR) AS dow,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, n, ROUND(sv, 2) AS sum_value FROM fine
+UNION ALL
+SELECT event_type, 'ALL', CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
+FROM fine GROUP BY 1
+UNION ALL
+SELECT 'ALL', dow, CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
+FROM fine GROUP BY 2
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2) FROM fine
+"""
+
+
 PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -7141,6 +7210,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "emb_label_stats": q_emb_label_stats,
+    "events_cube": q_events_cube,
     "doc_source_stats": q_doc_source_stats,
     "workflow_api": q_workflow_api,
     "url_normalize": q_url_normalize,
@@ -7179,6 +7249,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunk": SQL_DOC_CHUNK,
         "doc_dsir_weights": SQL_DOC_DSIR,
         "doc_bpe_merges": _sql_doc_bpe_merges(),
+        "events_cube": SQL_EVENTS_CUBE,
         "url_normalize": _sql_url_normalize(),
         "doc_simhash_bands": SQL_DOC_SIMHASH_BANDS,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
