@@ -153,6 +153,8 @@ BENCH_QUERIES = [
 
 def _consume(result) -> int:
     """Force execution; return row count."""
+    if hasattr(result, "shape"):  # pandas DataFrame (.count() is per-column)
+        return len(result)
     if hasattr(result, "count") and not hasattr(result, "column_names"):
         return result.count()
     return len(result)

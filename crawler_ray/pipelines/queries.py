@@ -3737,6 +3737,13 @@ def q_events_cube(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"),
                    Sum("sum_value", alias_name="sum_value"))
     ).to_pandas()  # bounded: |types| x 7 groups
+    if fine.empty:  # zero-row events: Ray's empty aggregate drops columns
+        fine = pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "dow": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64),
+             "sum_value": pd.Series([], dtype=np.float64)}
+        )
     by_type = (
         fine.groupby("event_type", as_index=False)[["n", "sum_value"]]
         .sum()
@@ -3773,7 +3780,8 @@ UNION ALL
 SELECT 'ALL', dow, CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2)
 FROM fine GROUP BY 2
 UNION ALL
-SELECT 'ALL', 'ALL', CAST(SUM(n) AS BIGINT), ROUND(SUM(sv), 2) FROM fine
+SELECT 'ALL', 'ALL', CAST(COALESCE(SUM(n), 0) AS BIGINT),
+       ROUND(COALESCE(SUM(sv), 0), 2) FROM fine
 """
 
 

@@ -138,3 +138,15 @@ def test_round5d_queries_empty(empty_sf_dir):
     bpe = QUERIES["doc_bpe_merges"](empty_sf_dir)
     assert len(bpe) == 0
     assert list(bpe.columns) == ["merge_rank", "s1", "s2", "n"]
+
+
+def test_events_cube_empty_emits_zero_grand_total(empty_sf_dir):
+    """SQL aggregates over an empty fine level yield one grand-total row
+    (COALESCEd to zero in the oracle); the Ray side derives the same row
+    from empty partial sums."""
+    from crawler_ray.pipelines.queries import q_events_cube
+
+    rows = q_events_cube(empty_sf_dir).to_pylist()
+    assert rows == [
+        {"event_type": "ALL", "dow": "ALL", "n": 0, "sum_value": 0.0}
+    ]
