@@ -7004,7 +7004,12 @@ def q_doc_bpe_merges(sf_dir: str):
         return pd.DataFrame({"ls": out, "freq": df["freq"].astype(np.int64)})
 
     merges: list[tuple[int, str, str, int]] = []
-    if state.count() <= BPE_LOCAL_VOCAB:
+    n_vocab = state.count()
+    if n_vocab == 0:  # empty corpus: zero-row to_pandas drops columns
+        return pd.DataFrame(
+            merges, columns=["merge_rank", "s1", "s2", "n"]
+        ).astype({"merge_rank": np.int64, "n": np.int64})
+    if n_vocab <= BPE_LOCAL_VOCAB:
         # small vocabulary: the state fits one driver frame, so the M
         # rounds run in-process on the SAME kernels (pair_partials on
         # the whole frame IS the global count) — saves ~3 Dataset
