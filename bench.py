@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     # BPE tokenizer training: one corpus-scale exchange, then
     # vocabulary-bounded merge rounds
     "doc_bpe_merges",
+    # multimodal context-window packing over the interleaved span table
+    "span_pack",
 ]
 
 

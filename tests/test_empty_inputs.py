@@ -131,6 +131,7 @@ def test_round5d_queries_empty(empty_sf_dir):
         "doc_dsir_weights",
         "doc_pmi_collocations",
         "doc_inverted_index",
+        "span_pack",
     ):
         out = QUERIES[name](empty_sf_dir)
         assert out.count() == 0, name
