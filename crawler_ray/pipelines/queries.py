@@ -6465,7 +6465,7 @@ def q_doc_pmi_collocations(sf_dir: str):
         surv = df[role == 1]
         if surv.empty:
             return pd.DataFrame(
-                {k: pd.Series([], dtype=(object if t is object else t))
+                {k: pd.Series([], dtype=t)
                  for k, t in [("bigram", object), ("n_pair", np.int64),
                               ("n_left", np.int64), ("n_right", np.int64),
                               ("pmi", np.float64)]}
@@ -6729,9 +6729,12 @@ def q_doc_dsir_weights(sf_dir: str):
     from crawler_ray.stages.combine import bucketed_distinct
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    # target source: bounded distinct (|sources| rows) -> driver min
+    # target source: bounded distinct (|sources| rows) -> driver min.
+    # Narrow, SEPARATE read: Ray 2.49's planner has no projection
+    # pushdown, so select_columns on the 3-column ds would decode the
+    # full text column just to find min(source).
     src_rows = bucketed_distinct(
-        ds.select_columns(["source"]), "source"
+        _read(sf_dir, "documents", ["source"]), "source"
     ).take_all()
     out_schema = {"doc_id": pa.int64(), "n_tokens": pa.int64(),
                   "logratio": pa.float64()}
@@ -7006,9 +7009,7 @@ def q_doc_bpe_merges(sf_dir: str):
     merges: list[tuple[int, str, str, int]] = []
     n_vocab = state.count()
     if n_vocab == 0:  # empty corpus: zero-row to_pandas drops columns
-        return pd.DataFrame(
-            merges, columns=["merge_rank", "s1", "s2", "n"]
-        ).astype({"merge_rank": np.int64, "n": np.int64})
+        return _bpe_table(merges)
     if n_vocab <= BPE_LOCAL_VOCAB:
         # small vocabulary: the state fits one driver frame, so the M
         # rounds run in-process on the SAME kernels (pair_partials on
@@ -7044,9 +7045,16 @@ def q_doc_bpe_merges(sf_dir: str):
                 lambda df, a=best["s1"], b=best["s2"]: apply_merge(df, a, b),
                 batch_format="pandas",
             ).materialize()
-    return pd.DataFrame(
+    return _bpe_table(merges)
+
+
+def _bpe_table(merges: list[tuple[int, str, str, int]]) -> pa.Table:
+    """The merge table as pa.Table (every registry entry returns a
+    Dataset or Table so drivers can count rows uniformly)."""
+    df = pd.DataFrame(
         merges, columns=["merge_rank", "s1", "s2", "n"]
     ).astype({"merge_rank": np.int64, "n": np.int64})
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def _sql_doc_bpe_merges() -> str:

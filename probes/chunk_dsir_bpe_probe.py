@@ -136,7 +136,7 @@ def main() -> None:
 
         # ---- doc_bpe_merges: byte-exact merge table ----
         t0 = time.time()
-        bpe = QUERIES["doc_bpe_merges"](td)
+        bpe = QUERIES["doc_bpe_merges"](td).to_pandas()
         wall = time.time() - t0
         out["bpe_wall_s"] = round(wall, 1)
         t0 = time.time()
@@ -160,7 +160,7 @@ def main() -> None:
         try:
             _q.BPE_LOCAL_VOCAB = 0
             t0 = time.time()
-            bpe_d = QUERIES["doc_bpe_merges"](td)
+            bpe_d = QUERIES["doc_bpe_merges"](td).to_pandas()
             out["bpe_dist_wall_s"] = round(time.time() - t0, 1)
         finally:
             _q.BPE_LOCAL_VOCAB = saved

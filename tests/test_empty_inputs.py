@@ -122,8 +122,9 @@ def test_pmi_and_inverted_index_empty(empty_sf_dir):
 
 def test_round5d_queries_empty(empty_sf_dir):
     """doc_chunk / doc_dsir_weights / doc_pmi_collocations /
-    doc_inverted_index / doc_bpe_merges all emit zero rows on a zero-row
-    corpus, matching their oracles."""
+    doc_inverted_index / span_pack emit zero-row Datasets on a zero-row
+    corpus (matching their oracles); doc_bpe_merges returns the typed
+    empty merge TABLE and is asserted separately below."""
     from crawler_ray.pipelines.queries import QUERIES
 
     for name in (
@@ -137,8 +138,8 @@ def test_round5d_queries_empty(empty_sf_dir):
         assert out.count() == 0, name
 
     bpe = QUERIES["doc_bpe_merges"](empty_sf_dir)
-    assert len(bpe) == 0
-    assert list(bpe.columns) == ["merge_rank", "s1", "s2", "n"]
+    assert bpe.num_rows == 0
+    assert bpe.column_names == ["merge_rank", "s1", "s2", "n"]
 
 
 def test_events_cube_empty_emits_zero_grand_total(empty_sf_dir):
